@@ -1,0 +1,517 @@
+"""Fused Pallas TPU kernels for bilateral slice-apply.
+
+TPU-native design (NOT a CUDA translation — the reference kernels
+ops/bilateral_slice_apply.cu.cc:36-364 use per-thread scalar gathers,
+which do not exist on the TPU VPU):
+
+  * The image is tiled over a (batch, h-tiles, w-tiles) Pallas grid; all
+    per-pixel math is dense (8, 128)-lane vector arithmetic.
+  * Per-pixel trilinear gathers are replaced by a *branch-free one-hot
+    contraction*: each tile touches a small static window of grid cells
+    (NCY x NCX spatial cells x all gd depth bins, precomputed on the
+    host), and each cell's contribution is weighted by
+    ``tap_weight * (tap_index == cell_index)``. Out-of-range taps clamp
+    by construction (weights evaluated at unclamped positions, matched
+    against the unclamped cell id for x/y and the clamped tap id for z),
+    reproducing exactly the clamped 8-corner semantics of the reference
+    forward (ops/bilateral_slice_apply.cc:40-81).
+  * The per-tile grid-cell window (tiny: <= 6*6*gd*C floats) is gathered
+    on the host side of the pallas_call by XLA and streamed per tile, so
+    every in-kernel grid read is a static-index scalar load.
+  * Full-res tensors are laid out channel-first (B, C, H, W) inside the
+    kernel so every channel plane is a (TH, TW) = (sublane, lane) tile.
+
+Backward:
+  * guide + input cotangents: one fused pixelwise kernel (same tiling),
+    semantics of ops/bilateral_slice_apply.cc:140-259.
+  * grid cotangent: the separable splat is einsum-shaped (no gathers,
+    no scatters) and XLA-friendly; it reuses the oracle formulation
+    (hdrnet_tpu.ops.reference.bilateral_slice_apply_grid_vjp).
+
+Numerics are f32 end-to-end; conformance vs the oracle is gated at
+<= 1e-5 in tests/test_pallas_ops.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hdrnet_tpu.numerics import EPS
+from hdrnet_tpu.ops import reference as ref
+
+# Hard cap on the per-tile spatial cell window. Shapes that would exceed
+# it (image barely larger than the grid — never the HDRNet regime) fall
+# back to the XLA reference implementation.
+_MAX_CELLS = 8
+
+_LANE = 128
+_SUBLANE = 8
+
+
+def _round_up(x, m):
+  return -(-x // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class _AxisPlan:
+  tile: int          # pixels per tile along this axis
+  n_tiles: int
+  n_cells: int       # grid-cell window per tile
+  starts: np.ndarray  # (n_tiles,) int32: first cell index (may be < 0)
+
+
+def _plan_axis(extent, n_cells_total, tile):
+  """Tile one spatial axis and bound the per-tile grid-cell window.
+
+  The window [starts[t], starts[t] + n_cells) covers every (unclamped)
+  tap index floor(gf - 0.5) and +1 for pixels in tile t, where
+  gf = (pix + 0.5) * n_cells_total / extent.
+  """
+  n_tiles = _round_up(extent, tile) // tile
+  scale = n_cells_total / extent
+  t = np.arange(n_tiles)
+  first = t * tile
+  last = np.minimum(first + tile, extent) - 1
+  lo = np.floor((first + 0.5) * scale - 0.5).astype(np.int64)
+  hi = np.floor((last + 0.5) * scale - 0.5).astype(np.int64) + 1
+  n_cells = int((hi - lo).max()) + 1
+  return _AxisPlan(tile, n_tiles, n_cells, lo.astype(np.int32))
+
+
+def _choose_tile(extent, n_cells_total, lane_dim):
+  """Pick a tile size: hardware-aligned, window <= _MAX_CELLS."""
+  if lane_dim:
+    candidates = [256, 128] if extent > 1536 else [128]
+  else:
+    candidates = [256, 128, 64, 32, 16, 8]
+  for tile in candidates:
+    plan = _plan_axis(extent, n_cells_total, tile)
+    if plan.n_cells <= _MAX_CELLS:
+      return plan
+  return None
+
+
+def plan_tiles(h, w, gh, gw):
+  """Returns (y_plan, x_plan) or None if the pallas path is infeasible."""
+  yp = _choose_tile(h, gh, lane_dim=False)
+  xp = _choose_tile(w, gw, lane_dim=True)
+  if yp is None or xp is None:
+    return None
+  return yp, xp
+
+
+def feasible(h, w, gh, gw):
+  return plan_tiles(h, w, gh, gw) is not None
+
+
+@dataclasses.dataclass(frozen=True)
+class _Cfg:
+  """Static kernel configuration (hashable; closed over by the kernel)."""
+  th: int
+  tw: int
+  ncy: int
+  ncx: int
+  gh: int
+  gw: int
+  gd: int
+  n_out: int
+  n_in: int
+  has_offset: bool
+  sy: float  # gh / logical H
+  sx: float  # gw / logical W
+
+  @property
+  def ni_tot(self):
+    return self.n_in + (1 if self.has_offset else 0)
+
+  @property
+  def channels(self):
+    return self.n_out * self.ni_tot
+
+
+def _f32(x):
+  return x.astype(jnp.float32)
+
+
+def _spatial_onehot_weights(tile_start, tile, scale, start_cell, n_cells,
+                            shape, axis):
+  """One-hot tap weights for every cell in the tile's window.
+
+  Returns a list of `n_cells` planes of `shape` ((TH,1) or (1,TW)):
+  weights[d] = w0 * (tap0 == start_cell + d) + w1 * (tap1 == start_cell + d)
+  with taps/weights at unclamped positions (forward clamp semantics come
+  from the window gather clamping the *cell*, not the tap).
+  """
+  pix = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+  gf = (_f32(pix) + (_f32(tile_start) + 0.5)) * scale
+  tap0 = jnp.floor(gf - 0.5)
+  w0 = jnp.maximum(1.0 - jnp.abs(tap0 + 0.5 - gf), 0.0)
+  w1 = jnp.maximum(1.0 - jnp.abs(tap0 + 1.5 - gf), 0.0)
+  tap0 = tap0.astype(jnp.int32)
+  out = []
+  for d in range(n_cells):
+    cell = start_cell + d
+    out.append(jnp.where(tap0 == cell, w0, 0.0) +
+               jnp.where(tap0 + 1 == cell, w1, 0.0))
+  return out
+
+
+def _depth_onehot_weights(guide, gd, *, derivative=False):
+  """One-hot depth weights (planes) for all gd bins.
+
+  Forward: smoothed tent weights (numerics.h:108-113) at the two
+  unclamped taps, accumulated into their *clamped* bin (matching
+  the clamped gather of the reference forward).
+  Derivative mode: gd * SmoothedLerpWeightGrad (numerics.h:116-126),
+  for the guide VJP (bilateral_slice_apply.cc:183-189).
+  """
+  gzf = guide * gd
+  tap0 = jnp.floor(gzf - 0.5)
+  if derivative:
+    def weight(tap):
+      dx = tap + 0.5 - gzf
+      sab = jnp.sqrt(dx * dx + EPS)
+      return gd * jnp.where(sab > 1.0, 0.0, dx / sab)
+  else:
+    def weight(tap):
+      dx = tap + 0.5 - gzf
+      return jnp.maximum(1.0 - jnp.sqrt(dx * dx + EPS), 0.0)
+  w0 = weight(tap0)
+  w1 = weight(tap0 + 1.0)
+  c0 = jnp.clip(tap0.astype(jnp.int32), 0, gd - 1)
+  c1 = jnp.clip(tap0.astype(jnp.int32) + 1, 0, gd - 1)
+  return [jnp.where(c0 == k, w0, 0.0) + jnp.where(c1 == k, w1, 0.0)
+          for k in range(gd)]
+
+
+def _x_rows(cfg, lg_ref, wx, da):
+  """x-contraction for one y-cell: rows[k*C + c] = sum_db wx[db] * grid.
+
+  lg_ref block layout: (1, NCY, gd*C, NCX). Returns a (gd*C, TW) array —
+  the grid window x-interpolated at every pixel column, all (k, c) at
+  once, via NCX broadcast-FMAs (cheap: gd*C sublanes, not TH).
+  """
+  rows = lg_ref[0, da, :, 0:1] * wx[0]
+  for db in range(1, cfg.ncx):
+    rows = rows + lg_ref[0, da, :, db:db + 1] * wx[db]
+  return rows
+
+
+def _accumulate_sliced(cfg, lg_ref, wy, wx, wz_list, dwz_list=None):
+  """Separable one-hot trilinear contraction.
+
+    sliced[c] = sum_da wy[da] * ( sum_k wz[k] * rows_da[k*C + c] )
+
+  Identical real-arithmetic to the direct 8-corner form; factored so the
+  expensive full-plane FMAs are O(NCY * C * gd) instead of
+  O(NCY * NCX * gd * C). If `dwz_list` is given, a second set of planes
+  (z-derivative slicing, for the guide VJP) is accumulated sharing the
+  same rows.
+  """
+  c_n = cfg.channels
+  sliced = [jnp.zeros((cfg.th, cfg.tw), jnp.float32) for _ in range(c_n)]
+  sliced_dz = ([jnp.zeros((cfg.th, cfg.tw), jnp.float32)
+                for _ in range(c_n)] if dwz_list is not None else None)
+  for da in range(cfg.ncy):
+    rows = _x_rows(cfg, lg_ref, wx, da)
+    for c in range(c_n):
+      u = wz_list[0] * rows[c:c + 1, :]
+      for k in range(1, cfg.gd):
+        u = u + wz_list[k] * rows[k * c_n + c:k * c_n + c + 1, :]
+      sliced[c] = sliced[c] + wy[da] * u
+      if dwz_list is not None:
+        v = dwz_list[0] * rows[c:c + 1, :]
+        for k in range(1, cfg.gd):
+          v = v + dwz_list[k] * rows[k * c_n + c:k * c_n + c + 1, :]
+        sliced_dz[c] = sliced_dz[c] + wy[da] * v
+  if dwz_list is not None:
+    return sliced, sliced_dz
+  return sliced
+
+
+def _make_wy_wx(cfg, a0, b0, ty, tx):
+  wy = _spatial_onehot_weights(ty * cfg.th, cfg.th, cfg.sy, a0, cfg.ncy,
+                               (cfg.th, 1), 0)
+  wx = _spatial_onehot_weights(tx * cfg.tw, cfg.tw, cfg.sx, b0, cfg.ncx,
+                               (1, cfg.tw), 1)
+  return wy, wx
+
+
+def _fwd_kernel(cfg, a0_ref, b0_ref, lg_ref, guide_ref, *rest):
+  if cfg.n_in:
+    img_ref, out_ref = rest
+  else:
+    (out_ref,) = rest
+  ty = pl.program_id(1)
+  tx = pl.program_id(2)
+  wy, wx = _make_wy_wx(cfg, a0_ref[ty], b0_ref[tx], ty, tx)
+  guide = guide_ref[0]
+  wz = _depth_onehot_weights(guide, cfg.gd)
+  sliced = _accumulate_sliced(cfg, lg_ref, wy, wx, wz)
+
+  ni1 = cfg.ni_tot
+  if cfg.n_in:
+    for i in range(cfg.n_out):
+      acc = (sliced[i * ni1 + cfg.n_in] if cfg.has_offset
+             else jnp.zeros((cfg.th, cfg.tw), jnp.float32))
+      for j in range(cfg.n_in):
+        acc = acc + sliced[i * ni1 + j] * img_ref[0, j]
+      out_ref[0, i] = acc
+  else:
+    for c in range(cfg.channels):
+      out_ref[0, c] = sliced[c]
+
+
+def _pix_bwd_kernel(cfg, a0_ref, b0_ref, lg_ref, guide_ref, *rest):
+  """Fused guide + input cotangents (bilateral_slice_apply.cc:140-259)."""
+  if cfg.n_in:
+    img_ref, ct_ref, dguide_ref, dimg_ref = rest
+  else:
+    ct_ref, dguide_ref = rest
+  ty = pl.program_id(1)
+  tx = pl.program_id(2)
+  wy, wx = _make_wy_wx(cfg, a0_ref[ty], b0_ref[tx], ty, tx)
+  guide = guide_ref[0]
+  wz = _depth_onehot_weights(guide, cfg.gd)
+  dwz = _depth_onehot_weights(guide, cfg.gd, derivative=True)
+
+  sliced, sliced_dz = _accumulate_sliced(cfg, lg_ref, wy, wx, wz,
+                                         dwz_list=dwz)
+
+  ni1 = cfg.ni_tot
+  dguide = jnp.zeros((cfg.th, cfg.tw), jnp.float32)
+  for i in range(cfg.n_out):
+    ct_i = ct_ref[0, i]
+    # d/d(guide): sum_j sliced_dz[i, j] * in_ext[j]
+    gacc = (sliced_dz[i * ni1 + cfg.n_in] if cfg.has_offset
+            else jnp.zeros((cfg.th, cfg.tw), jnp.float32))
+    for j in range(cfg.n_in):
+      gacc = gacc + sliced_dz[i * ni1 + j] * img_ref[0, j]
+    dguide = dguide + gacc * ct_i
+  dguide_ref[0] = dguide
+
+  if cfg.n_in:
+    for j in range(cfg.n_in):
+      acc = jnp.zeros((cfg.th, cfg.tw), jnp.float32)
+      for i in range(cfg.n_out):
+        acc = acc + sliced[i * ni1 + j] * ct_ref[0, i]
+      dimg_ref[0, j] = acc
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrappers
+# ---------------------------------------------------------------------------
+
+
+def _extract_cell_windows(grid5, yp, xp):
+  """Gathers each tile's grid-cell window: (B*nty*ntx, NCY, gd*C, NCX).
+
+  Cell indices are clamped here — combined with unclamped one-hot
+  matching in-kernel this reproduces the reference's clamp boundary.
+  The (gd*C, NCX) inner layout lets the kernel do its x-contraction as
+  NCX broadcast-FMAs over all (k, c) at once.
+  """
+  b, gh, gw, gd, c = grid5.shape
+  iy = np.clip(yp.starts[:, None] + np.arange(yp.n_cells)[None, :], 0, gh - 1)
+  ix = np.clip(xp.starts[:, None] + np.arange(xp.n_cells)[None, :], 0, gw - 1)
+  lg = grid5[:, iy][:, :, :, ix]  # (B, nty, NCY, ntx, NCX, gd, C)
+  lg = lg.transpose(0, 1, 3, 2, 5, 6, 4)  # (B, nty, ntx, NCY, gd, C, NCX)
+  return lg.reshape(b * yp.n_tiles * xp.n_tiles,
+                    yp.n_cells, gd * c, xp.n_cells)
+
+
+def _pad_hw(x, h_pad, w_pad):
+  """Zero-pads the trailing (H, W) axes of a (..., H, W) array."""
+  pads = [(0, 0)] * (x.ndim - 2)
+  pads += [(0, h_pad - x.shape[-2]), (0, w_pad - x.shape[-1])]
+  if all(p == (0, 0) for p in pads):
+    return x
+  return jnp.pad(x, pads)
+
+
+def _common_setup(grid5, guide, h, w):
+  b, gh, gw, gd, _ = grid5.shape
+  plans = plan_tiles(h, w, gh, gw)
+  assert plans is not None, 'caller must check feasible()'
+  yp, xp = plans
+  lg = _extract_cell_windows(grid5, yp, xp)
+  a0 = jnp.asarray(yp.starts)
+  b0 = jnp.asarray(xp.starts)
+  h_pad, w_pad = yp.tile * yp.n_tiles, xp.tile * xp.n_tiles
+  return yp, xp, lg, a0, b0, h_pad, w_pad
+
+
+def _cfg_from(grid5, yp, xp, h, w, n_out, n_in, has_offset):
+  _, gh, gw, gd, _ = grid5.shape
+  return _Cfg(th=yp.tile, tw=xp.tile, ncy=yp.n_cells, ncx=xp.n_cells,
+              gh=gh, gw=gw, gd=gd, n_out=n_out, n_in=n_in,
+              has_offset=has_offset, sy=gh / h, sx=gw / w)
+
+
+def _tile_spec(ch=None):
+  """BlockSpec for a (B, [C,] H, W) tensor tiled over (b, ty, tx)."""
+  if ch is None:
+    return pl.BlockSpec((1, None, None), lambda b, ty, tx: (b, ty, tx))
+  return pl.BlockSpec((1, ch, None, None), lambda b, ty, tx: (b, 0, ty, tx))
+
+
+def _make_specs(cfg, nty, ntx):
+  # NB: with PrefetchScalarGridSpec, index_map receives the scalar-prefetch
+  # refs appended after the grid indices — swallow them with *_.
+  lg_spec = pl.BlockSpec(
+      (1, cfg.ncy, cfg.gd * cfg.channels, cfg.ncx),
+      lambda b, ty, tx, *_: (b * nty * ntx + ty * ntx + tx, 0, 0, 0),
+      memory_space=pltpu.VMEM)
+  guide_spec = pl.BlockSpec((1, cfg.th, cfg.tw),
+                            lambda b, ty, tx, *_: (b, ty, tx),
+                            memory_space=pltpu.VMEM)
+
+  def chan_spec(ch):
+    return pl.BlockSpec((1, ch, cfg.th, cfg.tw),
+                        lambda b, ty, tx, *_: (b, 0, ty, tx),
+                        memory_space=pltpu.VMEM)
+  return lg_spec, guide_spec, chan_spec
+
+
+def slice_apply_fwd(grid5, guide, image_cf, n_out, n_in, has_offset,
+                    interpret=False):
+  """Forward pass. grid5 (B,gh,gw,gd,C) packed; guide (B,H,W);
+  image_cf (B,n_in,H,W) channel-first. Returns (B,n_out,H,W)."""
+  b, h, w = guide.shape
+  yp, xp, lg, a0, b0, h_pad, w_pad = _common_setup(grid5, guide, h, w)
+  cfg = _cfg_from(grid5, yp, xp, h, w, n_out, n_in, has_offset)
+  lg_spec, guide_spec, chan_spec = _make_specs(cfg, yp.n_tiles, xp.n_tiles)
+
+  guide_p = _pad_hw(guide, h_pad, w_pad)
+  operands = [lg, guide_p]
+  in_specs = [lg_spec, guide_spec]
+  if n_in:
+    operands.append(_pad_hw(image_cf, h_pad, w_pad))
+    in_specs.append(chan_spec(n_in))
+
+  out = pl.pallas_call(
+      functools.partial(_fwd_kernel, cfg),
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=2,
+          grid=(b, yp.n_tiles, xp.n_tiles),
+          in_specs=in_specs,
+          out_specs=chan_spec(n_out),
+      ),
+      out_shape=jax.ShapeDtypeStruct((b, n_out, h_pad, w_pad), jnp.float32),
+      interpret=interpret,
+  )(a0, b0, *operands)
+  return out[:, :, :h, :w]
+
+
+def slice_apply_pix_bwd(grid5, guide, image_cf, ct_cf, n_out, n_in,
+                        has_offset, interpret=False):
+  """Fused guide + input cotangents. ct_cf (B,n_out,H,W) channel-first.
+  Returns (d_guide (B,H,W), d_image_cf (B,n_in,H,W) or None)."""
+  b, h, w = guide.shape
+  yp, xp, lg, a0, b0, h_pad, w_pad = _common_setup(grid5, guide, h, w)
+  cfg = _cfg_from(grid5, yp, xp, h, w, n_out, n_in, has_offset)
+  lg_spec, guide_spec, chan_spec = _make_specs(cfg, yp.n_tiles, xp.n_tiles)
+
+  guide_p = _pad_hw(guide, h_pad, w_pad)
+  operands = [lg, guide_p]
+  in_specs = [lg_spec, guide_spec]
+  if n_in:
+    operands.append(_pad_hw(image_cf, h_pad, w_pad))
+    in_specs.append(chan_spec(n_in))
+  operands.append(_pad_hw(ct_cf, h_pad, w_pad))
+  in_specs.append(chan_spec(n_out))
+
+  out_shapes = [jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.float32)]
+  out_specs = [guide_spec]
+  if n_in:
+    out_shapes.append(
+        jax.ShapeDtypeStruct((b, n_in, h_pad, w_pad), jnp.float32))
+    out_specs.append(chan_spec(n_in))
+
+  outs = pl.pallas_call(
+      functools.partial(_pix_bwd_kernel, cfg),
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=2,
+          grid=(b, yp.n_tiles, xp.n_tiles),
+          in_specs=in_specs,
+          out_specs=out_specs,
+      ),
+      out_shape=out_shapes,
+      interpret=interpret,
+  )(a0, b0, *operands)
+  d_guide = outs[0][:, :h, :w]
+  d_image = outs[1][:, :, :h, :w] if n_in else None
+  return d_guide, d_image
+
+
+# ---------------------------------------------------------------------------
+# Impl object consumed by hdrnet_tpu.ops.slice_ops
+# ---------------------------------------------------------------------------
+
+
+def _to_cf(x):
+  return jnp.transpose(x, (0, 3, 1, 2))
+
+
+def _to_cl(x):
+  return jnp.transpose(x, (0, 2, 3, 1))
+
+
+class _PallasImpl:
+  def __init__(self, interpret):
+    self.interpret = interpret
+
+  @staticmethod
+  def _dims(grid, image, has_offset):
+    n_out, ni_tot = grid.shape[-2:]
+    n_in = image.shape[-1]
+    assert ni_tot == n_in + (1 if has_offset else 0), (grid.shape,
+                                                       image.shape)
+    return n_out, n_in
+
+  @staticmethod
+  def _pack(grid):
+    b, gh, gw, gd, no, ni1 = grid.shape
+    return grid.reshape(b, gh, gw, gd, no * ni1)
+
+  def forward(self, grid, guide, image, has_offset):
+    n_out, n_in = self._dims(grid, image, has_offset)
+    out_cf = slice_apply_fwd(
+        self._pack(grid).astype(jnp.float32), guide.astype(jnp.float32),
+        _to_cf(image).astype(jnp.float32), n_out, n_in, has_offset,
+        interpret=self.interpret)
+    return _to_cl(out_cf)
+
+  def vjps(self, grid, guide, image, ct, has_offset):
+    n_out, n_in = self._dims(grid, image, has_offset)
+    d_guide, d_img_cf = slice_apply_pix_bwd(
+        self._pack(grid).astype(jnp.float32), guide.astype(jnp.float32),
+        _to_cf(image).astype(jnp.float32), _to_cf(ct).astype(jnp.float32),
+        n_out, n_in, has_offset, interpret=self.interpret)
+    if n_in:
+      d_image = _to_cl(d_img_cf)
+    else:
+      d_image = jnp.zeros_like(image)
+    # Grid cotangent: separable einsum splat — XLA-native, no kernel
+    # needed (scatter/gather free). Oracle formulation, vmapped.
+    d_grid = jax.vmap(functools.partial(
+        ref.bilateral_slice_apply_grid_vjp,
+        grid_shape=grid.shape[1:], has_offset=has_offset))(guide, image, ct)
+    return d_grid, d_guide, d_image
+
+
+_IMPLS = {}
+
+
+def get_impl(interpret=False):
+  if interpret not in _IMPLS:
+    _IMPLS[interpret] = _PallasImpl(interpret)
+  return _IMPLS[interpret]

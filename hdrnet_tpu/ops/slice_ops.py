@@ -71,24 +71,17 @@ class _ReferenceImpl:
     return jax.vmap(fn)(grid, guide, image)
 
   @staticmethod
-  def grid_vjp(grid, guide, image, ct, has_offset):
-    fn = functools.partial(
+  def vjps(grid, guide, image, ct, has_offset):
+    d_grid = jax.vmap(functools.partial(
         ref.bilateral_slice_apply_grid_vjp,
-        grid_shape=grid.shape[1:], has_offset=has_offset)
-    return jax.vmap(fn)(guide, image, ct)
-
-  @staticmethod
-  def guide_vjp(grid, guide, image, ct, has_offset):
-    fn = functools.partial(
-        ref.bilateral_slice_apply_guide_vjp, has_offset=has_offset)
-    return jax.vmap(fn)(grid, guide, image, ct)
-
-  @staticmethod
-  def input_vjp(grid, guide, image, ct, has_offset):
-    del image
-    fn = functools.partial(
-        ref.bilateral_slice_apply_input_vjp, has_offset=has_offset)
-    return jax.vmap(fn)(grid, guide, ct)
+        grid_shape=grid.shape[1:], has_offset=has_offset))(guide, image, ct)
+    d_guide = jax.vmap(functools.partial(
+        ref.bilateral_slice_apply_guide_vjp,
+        has_offset=has_offset))(grid, guide, image, ct)
+    d_image = jax.vmap(functools.partial(
+        ref.bilateral_slice_apply_input_vjp,
+        has_offset=has_offset))(grid, guide, ct)
+    return d_grid, d_guide, d_image
 
 
 _REFERENCE_IMPL = _ReferenceImpl
@@ -106,10 +99,8 @@ def _slice_apply_fwd(grid, guide, image, has_offset, backend):
 
 def _slice_apply_bwd(has_offset, backend, res, ct):
   grid, guide, image = res
-  impl = _get_impl(backend)
-  d_grid = impl.grid_vjp(grid, guide, image, ct, has_offset)
-  d_guide = impl.guide_vjp(grid, guide, image, ct, has_offset)
-  d_image = impl.input_vjp(grid, guide, image, ct, has_offset)
+  d_grid, d_guide, d_image = _get_impl(backend).vjps(
+      grid, guide, image, ct, has_offset)
   return (d_grid.astype(grid.dtype), d_guide.astype(guide.dtype),
           d_image.astype(image.dtype))
 
@@ -131,6 +122,11 @@ def bilateral_slice_apply(grid, guide, image, has_offset=True, backend=None):
     (b, h, w, no).
   """
   backend = backend or default_backend()
+  if backend in ('pallas', 'pallas_interpret'):
+    from hdrnet_tpu.ops import pallas as pk
+    gh, gw = grid.shape[1], grid.shape[2]
+    if not pk.feasible(guide.shape[1], guide.shape[2], gh, gw):
+      backend = 'reference'  # image too small relative to grid
   packed = grid.ndim == 5
   if packed:
     n_in = image.shape[-1]

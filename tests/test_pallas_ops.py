@@ -1,0 +1,108 @@
+"""Conformance gate: Pallas kernels vs the pure-jnp oracle.
+
+Runs the kernels in interpreter mode on CPU (the driver/bench exercise
+the compiled TPU path). Mirrors the reference's cross-implementation
+golden tests (hdrnet_ops_jax_tf2_test.py:26-48) at <= 1e-5.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hdrnet_tpu.ops import bilateral_slice, bilateral_slice_apply
+from hdrnet_tpu.ops import pallas as pk
+
+ATOL = 1e-5
+
+
+def _args(seed, b, gh, gw, gd, no, ni, h, w, offset=True):
+  rng = np.random.RandomState(seed)
+  ni1 = ni + (1 if offset else 0)
+  grid = jnp.asarray(rng.randn(b, gh, gw, gd, no, ni1), jnp.float32)
+  guide = jnp.asarray(rng.rand(b, h, w), jnp.float32)
+  image = jnp.asarray(rng.rand(b, h, w, ni), jnp.float32)
+  return grid, guide, image
+
+
+CASES = [
+    # (b, gh, gw, gd, no, ni, h, w) — odd sizes, non-divisible ratios
+    (1, 4, 4, 8, 3, 3, 64, 130),
+    (2, 3, 5, 4, 3, 3, 37, 129),
+    (1, 16, 16, 8, 3, 3, 130, 257),
+]
+
+
+@pytest.mark.parametrize('case', CASES)
+def test_forward_matches_oracle(case):
+  grid, guide, image = _args(0, *case)
+  want = bilateral_slice_apply(grid, guide, image, backend='reference')
+  got = bilateral_slice_apply(grid, guide, image,
+                              backend='pallas_interpret')
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=ATOL)
+
+
+def test_forward_no_offset():
+  grid, guide, image = _args(1, 1, 4, 4, 5, 2, 3, 40, 129, offset=False)
+  want = bilateral_slice_apply(grid, guide, image, has_offset=False,
+                               backend='reference')
+  got = bilateral_slice_apply(grid, guide, image, has_offset=False,
+                              backend='pallas_interpret')
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=ATOL)
+
+
+def test_plain_slice_matches_oracle():
+  rng = np.random.RandomState(2)
+  grid = jnp.asarray(rng.randn(1, 4, 4, 8, 6), jnp.float32)
+  guide = jnp.asarray(rng.rand(1, 48, 130), jnp.float32)
+  want = bilateral_slice(grid, guide, backend='reference')
+  got = bilateral_slice(grid, guide, backend='pallas_interpret')
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=ATOL)
+
+
+def test_guide_out_of_range_matches_oracle():
+  """Clamp semantics for guide outside [0, 1]."""
+  grid, guide, image = _args(3, 1, 4, 4, 4, 3, 3, 40, 129)
+  guide = guide * 3.0 - 1.0
+  want = bilateral_slice_apply(grid, guide, image, backend='reference')
+  got = bilateral_slice_apply(grid, guide, image,
+                              backend='pallas_interpret')
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=ATOL)
+
+
+def test_vjps_match_oracle():
+  grid, guide, image = _args(4, 1, 4, 4, 5, 3, 3, 48, 129)
+  rng = np.random.RandomState(5)
+
+  def run(backend):
+    def loss(grid, guide, image):
+      out = bilateral_slice_apply(grid, guide, image, backend=backend)
+      return jnp.vdot(out, probe)
+    out = bilateral_slice_apply(grid, guide, image, backend=backend)
+    return out, jax.grad(loss, argnums=(0, 1, 2))(grid, guide, image)
+
+  probe = jnp.asarray(rng.randn(1, 48, 129, 3), jnp.float32)
+  _, (dg_r, dgd_r, di_r) = run('reference')
+  _, (dg_p, dgd_p, di_p) = run('pallas_interpret')
+  np.testing.assert_allclose(np.asarray(dg_p), np.asarray(dg_r), atol=1e-4)
+  np.testing.assert_allclose(np.asarray(dgd_p), np.asarray(dgd_r), atol=1e-4)
+  np.testing.assert_allclose(np.asarray(di_p), np.asarray(di_r), atol=1e-4)
+
+
+def test_infeasible_falls_back():
+  """Image smaller than ~1 px/cell: wrapper silently uses the oracle."""
+  grid, guide, image = _args(6, 1, 16, 16, 4, 3, 3, 18, 20)
+  out = bilateral_slice_apply(grid, guide, image, backend='pallas_interpret')
+  want = bilateral_slice_apply(grid, guide, image, backend='reference')
+  np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=ATOL)
+
+
+def test_tile_planner_windows():
+  for h, w, gh, gw in [(1080, 1920, 16, 16), (2160, 3840, 16, 16),
+                       (512, 512, 16, 16), (2048, 2048, 32, 32),
+                       (511, 1031, 16, 16)]:
+    plans = pk.plan_tiles(h, w, gh, gw)
+    assert plans is not None, (h, w)
+    yp, xp = plans
+    assert yp.n_cells <= pk._MAX_CELLS and xp.n_cells <= pk._MAX_CELLS
+    assert yp.tile * yp.n_tiles >= h and xp.tile * xp.n_tiles >= w
