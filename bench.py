@@ -1,0 +1,135 @@
+"""End-to-end benchmark on the real TPU chip.
+
+Replaces the reference's C++/OpenGL benchmark harness
+(benchmark/src/main.cc:39-154) with the same stage taxonomy —
+downsample / coefficient forward / guide / slice-apply / total — plus
+the north-star metric: 4K enhancement frames/sec/chip (target >= 200 on
+v5e, BASELINE.md) and raw slice-apply GPix/s.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+plus a human-readable stage breakdown on stderr.
+
+Timing method: the axon TPU tunnel makes per-call sync ~24ms, so every
+measurement chains N iterations inside one jitted computation with a
+data dependency between iterations, and fetches one scalar at the end.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+TARGET_4K_FPS = 200.0  # BASELINE.md: >= 200 4K frames/sec/chip on v5e
+
+
+def _timed_chain(fn, n, *args):
+  """Median-of-3 of an n-iteration on-device chain; returns sec/iter."""
+  import jax
+  import jax.numpy as jnp
+
+  @jax.jit
+  def chain(*a):
+    acc = jnp.zeros(())
+    for _ in range(n):
+      acc = acc + fn(*a, acc * 1e-30)
+    return acc
+
+  float(chain(*args))  # compile + warm
+  ts = []
+  for _ in range(3):
+    t0 = time.time()
+    float(chain(*args))
+    ts.append((time.time() - t0) / n)
+  return sorted(ts)[1]
+
+
+def main():
+  import jax
+  import jax.numpy as jnp
+  from hdrnet_tpu.config import ModelConfig
+  from hdrnet_tpu.models import make_model
+  from hdrnet_tpu.ops import bilateral_slice_apply
+  from hdrnet_tpu.ops.resize import resize_nearest
+
+  err = lambda *a: print(*a, file=sys.stderr)
+  dev = jax.devices()[0]
+  err(f'device: {dev.device_kind} ({dev.platform})')
+
+  rng = np.random.RandomState(0)
+  cfg = ModelConfig(model_name='HDRNetCurves')
+  model = make_model(cfg)
+
+  H, W = 2160, 3840
+  full4k = jnp.asarray(rng.rand(1, H, W, 3), np.float32)
+  full1080 = jnp.asarray(rng.rand(1, 1080, 1920, 3), np.float32)
+  lowres = jnp.asarray(rng.rand(1, 256, 256, 3), np.float32)
+  variables = model.init(jax.random.PRNGKey(0), lowres, full4k)
+
+  n = 20
+
+  # --- stage: downsample (full-res -> 256 nearest, data_pipeline.py:165-169)
+  t_down = _timed_chain(
+      lambda f, eps: resize_nearest(f + eps, (256, 256)).sum(), n, full4k)
+
+  # --- stage: coefficient net (lowres only)
+  from hdrnet_tpu.models.hdrnet import CoefficientBackbone
+  bb = CoefficientBackbone(cfg, 3, 4)
+  bb_vars = {'params': variables['params']['coefficients']}
+  t_coeff = _timed_chain(
+      lambda l, eps: bb.apply(bb_vars, l + eps).sum(), n, lowres)
+
+  # --- stage: guide (full-res pointwise curves)
+  from hdrnet_tpu.models.guides import CurveGuide
+  g_vars = {'params': variables['params']['guide']}
+  guide_mod = CurveGuide()
+  t_guide = _timed_chain(
+      lambda f, eps: guide_mod.apply(g_vars, f + eps).sum(), n, full4k)
+
+  # --- stage: fused slice-apply (the Pallas kernel)
+  grid = jnp.asarray(rng.randn(1, 16, 16, 8, 3, 4), np.float32)
+  guide4k = jnp.asarray(rng.rand(1, H, W), np.float32)
+  t_slice = _timed_chain(
+      lambda g, gu, f, eps: bilateral_slice_apply(g, gu + eps, f).sum(),
+      n, grid, guide4k, full4k)
+
+  # --- end-to-end model forward
+  def e2e(v, l, f, eps):
+    return model.apply(v, l, f + eps).sum()
+  t_4k = _timed_chain(e2e, n, variables, lowres, full4k)
+  t_1080 = _timed_chain(e2e, n, variables, lowres, full1080)
+
+  fps_4k = 1.0 / t_4k
+  gpix = H * W / t_slice / 1e9
+
+  err(f'stage downsample  : {t_down * 1e3:7.2f} ms')
+  err(f'stage coeff net   : {t_coeff * 1e3:7.2f} ms')
+  err(f'stage guide (4K)  : {t_guide * 1e3:7.2f} ms')
+  err(f'stage slice-apply : {t_slice * 1e3:7.2f} ms '
+      f'({gpix:.2f} GPix/s)')
+  err(f'end-to-end 4K     : {t_4k * 1e3:7.2f} ms  ({fps_4k:.1f} fps)')
+  err(f'end-to-end 1080p  : {t_1080 * 1e3:7.2f} ms  '
+      f'({1.0 / t_1080:.1f} fps)')
+
+  print(json.dumps({
+      'metric': '4k_enhancement_fps_per_chip',
+      'value': round(fps_4k, 2),
+      'unit': 'frames/sec',
+      'vs_baseline': round(fps_4k / TARGET_4K_FPS, 4),
+      'detail': {
+          'fps_1080p': round(1.0 / t_1080, 2),
+          'slice_apply_gpix_per_s': round(gpix, 3),
+          'stage_ms': {
+              'downsample': round(t_down * 1e3, 3),
+              'coefficient_net': round(t_coeff * 1e3, 3),
+              'guide_4k': round(t_guide * 1e3, 3),
+              'slice_apply_4k': round(t_slice * 1e3, 3),
+              'end_to_end_4k': round(t_4k * 1e3, 3),
+          },
+      },
+  }))
+
+
+if __name__ == '__main__':
+  main()
