@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Export a trained model for deployment.
+
+Replaces the reference's freeze/optimize pipeline
+(bin/freeze_graph.py + bin/scripts/optimize_graph.sh): on TPU the
+"frozen optimized graph" is a serialized StableHLO export of the jitted
+function (weights inlined as constants — freezing), and XLA is the
+graph optimizer.
+
+Produces in <checkpoint_dir>:
+  * coefficients_fn.stablehlo  — lowres (1, S, S, n_in) -> packed
+    coefficients, transposed to the reference deployment layout
+    (n_out*ni, gd, gh, gw, n_in?) — cf. freeze_graph.py:69-75;
+  * enhance_fn.stablehlo       — full (lowres, fullres) -> output;
+  * guide_*.bin                — raw little-endian f32 guide parameters,
+    byte-compatible with the reference renderer's loader
+    (benchmark/src/renderer.cc:197-224), incl. batch-norm constant
+    folding for NN guides (freeze_graph.py:127-184).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import numpy as np
+
+log = logging.getLogger('hdrnet_tpu.export')
+logging.basicConfig(
+    format='[%(process)d] %(levelname)s %(filename)s:%(lineno)s | '
+           '%(message)s', level=logging.INFO)
+
+
+def _save_bin(arr, path):
+  np.ascontiguousarray(arr, dtype='<f4').tofile(path)
+  log.info('wrote %s %s', path, tuple(np.asarray(arr).shape))
+
+
+def dump_guide_params(params, batch_stats, model_name, out_dir):
+  """Raw .bin guide dumps, matching freeze_graph.py:106-184 layouts."""
+  if model_name == 'HDRNetCurves':
+    g = params['guide']
+    ccm34 = np.vstack([np.asarray(g['ccm']),
+                       np.asarray(g['ccm_bias'])[None, :]])
+    _save_bin(ccm34.T, os.path.join(out_dir, 'guide_ccm_f32_3x4.bin'))
+    # Reference stores (npts, nchans) transposed of its squeezed
+    # (1,1,nchans,npts) variables; ours are (nchans, npts).
+    _save_bin(np.asarray(g['shifts']),
+              os.path.join(out_dir, 'guide_shifts_f32_16x3.bin'))
+    _save_bin(np.asarray(g['slopes']),
+              os.path.join(out_dir, 'guide_slopes_f32_16x3.bin'))
+    mix = np.append(np.asarray(g['channel_mixing_w']).ravel(),
+                    np.asarray(g['channel_mixing_b']).ravel())
+    _save_bin(mix, os.path.join(out_dir, 'guide_mix_matrix_f32_1x4.bin'))
+    return
+
+  def dump_nn_guide(gp, gs, prefix):
+    # Fold the center-only BN into conv1: w' = w / sqrt(var + eps),
+    # b' = beta - mean / sqrt(var + eps) (freeze_graph.py:141-142).
+    eps = 1e-5
+    w = np.squeeze(np.asarray(gp['conv1']['conv']['kernel']))
+    beta = np.asarray(gp['conv1']['bn']['bias'])
+    mean = np.asarray(gs['conv1']['bn']['mean'])
+    var = np.asarray(gs['conv1']['bn']['var'])
+    scale = 1.0 / np.sqrt(var + eps)
+    w = w * scale
+    b = beta - mean * scale
+    conv1 = np.vstack([w, b[None, :]])
+    _save_bin(conv1.T, os.path.join(out_dir, f'{prefix}conv1.bin'))
+    w2 = np.squeeze(np.asarray(gp['conv2']['conv']['kernel']))
+    b2 = np.asarray(gp['conv2']['conv']['bias']).ravel()
+    _save_bin(np.append(w2, b2),
+              os.path.join(out_dir, f'{prefix}conv2.bin'))
+
+  if model_name == 'HDRNetPointwiseNNGuide':
+    dump_nn_guide(params['guide'], batch_stats['guide'], 'guide_')
+  elif model_name == 'HDRNetGaussianPyrNN':
+    for lvl in range(3):
+      key = f'guide_level_{lvl}'
+      dump_nn_guide(params[key], batch_stats[key], f'guide_level{lvl}_')
+  else:
+    log.info('no guide dump defined for %s', model_name)
+
+
+def main(argv=None):
+  parser = argparse.ArgumentParser(description=__doc__)
+  parser.add_argument('checkpoint_dir')
+  parser.add_argument('--output_dir', default=None,
+                      help='defaults to checkpoint_dir')
+  parser.add_argument('--fullres', type=int, nargs=2, default=[1080, 1920],
+                      help='static full resolution of enhance_fn')
+  args = parser.parse_args(argv)
+  out_dir = args.output_dir or args.checkpoint_dir
+  os.makedirs(out_dir, exist_ok=True)
+
+  import jax
+  import jax.numpy as jnp
+  from jax import export as jexport
+  import optax
+  from hdrnet_tpu.config import Config
+  from hdrnet_tpu.models import make_model
+  from hdrnet_tpu.training.checkpoint import Checkpointer
+  from hdrnet_tpu.training.step import create_state
+
+  config = Config.load(args.checkpoint_dir)
+  model = make_model(config.model)
+  s = config.model.net_input_size
+  n_in = config.model.n_in
+
+  dummy_low = jnp.zeros((1, s, s, n_in), jnp.float32)
+  dummy_full = jnp.zeros((1, 64, 64, n_in), jnp.float32)
+  template = create_state(model, optax.adam(1e-4), jax.random.PRNGKey(0),
+                          dummy_low, dummy_full)
+  state = Checkpointer(args.checkpoint_dir).restore(template)
+  assert state is not None, f'no checkpoint in {args.checkpoint_dir}'
+  variables = {'params': state.params}
+  if state.batch_stats:
+    variables['batch_stats'] = state.batch_stats
+
+  # --- coefficient-only function (weights baked in = frozen) ----------
+  def coefficients_fn(lowres):
+    _, inter = model.apply(variables, lowres, lowres[:, :s, :s],
+                           mutable=['intermediates'])
+    grid = inter['intermediates']['bilateral_coefficients'][0]
+    b, gh, gw, gd, no, ni = grid.shape
+    packed = grid.reshape(b, gh, gw, gd, no * ni)[0]
+    # Deployment layout (freeze_graph.py:69-75): transpose
+    # (gh, gw, gd, c) -> (c, gd, gh, gw).
+    return jnp.transpose(packed, (3, 2, 0, 1))
+
+  exported = jexport.export(jax.jit(coefficients_fn))(
+      jax.ShapeDtypeStruct((1, s, s, n_in), jnp.float32))
+  path = os.path.join(out_dir, 'coefficients_fn.stablehlo')
+  with open(path, 'wb') as f:
+    f.write(exported.serialize())
+  log.info('wrote %s (out %s)', path, exported.out_avals)
+
+  # --- full enhancement function --------------------------------------
+  h, w = args.fullres
+
+  def enhance_fn(lowres, fullres):
+    return jnp.clip(model.apply(variables, lowres, fullres), 0.0, 1.0)
+
+  exported2 = jexport.export(jax.jit(enhance_fn))(
+      jax.ShapeDtypeStruct((1, s, s, n_in), jnp.float32),
+      jax.ShapeDtypeStruct((1, h, w, n_in), jnp.float32))
+  path2 = os.path.join(out_dir, 'enhance_fn.stablehlo')
+  with open(path2, 'wb') as f:
+    f.write(exported2.serialize())
+  log.info('wrote %s (out %s)', path2, exported2.out_avals)
+
+  # --- raw guide parameter dumps --------------------------------------
+  dump_guide_params(state.params, state.batch_stats,
+                    config.model.model_name, out_dir)
+
+
+if __name__ == '__main__':
+  main()

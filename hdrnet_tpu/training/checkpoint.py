@@ -1,0 +1,64 @@
+"""Orbax checkpointing with self-describing configs.
+
+Replaces tf.train.Supervisor's checkpoint service (bin/train.py:143-149):
+time-interval saves, keep-N rotation, restore-latest-on-start, and a
+final save on interruption. The Config JSON sits next to the step dirs,
+so run/export tools rebuild the architecture with no flags — the TPU
+equivalent of the reference's model_params graph collection
+(bin/train.py:61-63, utils.py:19-23).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import jax
+import orbax.checkpoint as ocp
+
+# Orbax logs every save/restore internals at INFO; keep the training
+# console readable.
+for _name in ('orbax', 'absl', 'orbax.checkpoint'):
+  logging.getLogger(_name).setLevel(logging.WARNING)
+
+
+class Checkpointer:
+
+  def __init__(self, directory, max_to_keep=3):
+    self.directory = os.path.abspath(directory)
+    os.makedirs(self.directory, exist_ok=True)
+    self.manager = ocp.CheckpointManager(
+        self.directory,
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                             create=True))
+    self._last_save = time.time()
+
+  def latest_step(self):
+    return self.manager.latest_step()
+
+  def save(self, step, state, force=False):
+    self.manager.save(int(step), args=ocp.args.StandardSave(state),
+                      force=force)
+    self._last_save = time.time()
+
+  def wait(self):
+    self.manager.wait_until_finished()
+
+  def maybe_save(self, step, state, interval_secs):
+    if time.time() - self._last_save >= interval_secs:
+      self.save(step, state)
+      return True
+    return False
+
+  def restore(self, template):
+    """Restores the latest checkpoint into the structure of `template`
+    (a concrete TrainState used as the abstract target). Returns None
+    if no checkpoint exists."""
+    step = self.latest_step()
+    if step is None:
+      return None
+    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
+                                      template)
+    return self.manager.restore(step,
+                                args=ocp.args.StandardRestore(abstract))

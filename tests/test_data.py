@@ -1,0 +1,163 @@
+"""Data pipeline tests: layout validation, augmentation semantics,
+white-level handling, records round-trip, prefetch."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from hdrnet_tpu import native
+from hdrnet_tpu.config import DataConfig
+from hdrnet_tpu.data import (HDRpDataPipeline, ImageFilesDataPipeline,
+                             ShardReader, ShardWriter,
+                             StyleTransferDataPipeline,
+                             UnsharpMaskDataPipeline, make_pipeline)
+
+
+def _write_dataset(root, n=3, size=(48, 64), bits=8):
+  os.makedirs(root / 'input', exist_ok=True)
+  os.makedirs(root / 'output', exist_ok=True)
+  rng = np.random.RandomState(0)
+  names = []
+  for i in range(n):
+    name = f'im{i}.png'
+    names.append(name)
+    for sub in ('input', 'output'):
+      arr = rng.rand(*size, 3)
+      if bits == 16:
+        img = (arr * 65535).astype(np.uint16)
+        # PIL 16-bit png: per-channel not supported for RGB; save as I;16
+        # grayscale instead for the 16-bit test.
+        Image.fromarray(img[:, :, 0]).save(root / sub / name)
+      else:
+        Image.fromarray((arr * 255).astype(np.uint8)).save(
+            root / sub / name)
+  with open(root / 'filelist.txt', 'w') as f:
+    f.write('\n'.join(names) + '\n')
+  return names
+
+
+def _cfg(**kw):
+  base = dict(batch_size=2, output_resolution=[32, 32], net_input_size=16,
+              shuffle=False, random_crop=False, data_threads=1)
+  base.update(kw)
+  return DataConfig(**base)
+
+
+def test_image_files_pipeline(tmp_path):
+  _write_dataset(tmp_path)
+  pipe = ImageFilesDataPipeline(str(tmp_path), _cfg())
+  assert pipe.nsamples == 3
+  batch = next(pipe.batches())
+  assert batch['image_input'].shape == (2, 32, 32, 3)
+  assert batch['lowres_input'].shape == (2, 16, 16, 3)
+  assert batch['image_output'].dtype == np.float32
+  assert 0.0 <= batch['image_input'].min() <= batch['image_input'].max() <= 1.0
+  # lowres is the nearest-resample of fullres (data_pipeline.py:165-169)
+  want = native.resize_nearest(batch['image_input'][0], (16, 16))
+  np.testing.assert_allclose(batch['lowres_input'][0], want, atol=1e-6)
+
+
+def test_missing_layout_raises(tmp_path):
+  with pytest.raises(ValueError):
+    ImageFilesDataPipeline(str(tmp_path), _cfg())
+
+
+def test_sixteen_bit_white_level(tmp_path):
+  _write_dataset(tmp_path, bits=16)
+  pipe = ImageFilesDataPipeline(str(tmp_path), _cfg())
+  batch = next(pipe.batches())
+  assert batch['image_input'].max() <= 1.0
+
+
+def test_augmentations_change_output(tmp_path):
+  _write_dataset(tmp_path, size=(50, 70))
+  cfg = _cfg(fliplr=True, flipud=True, rotate=True, random_crop=True,
+             shuffle=True)
+  pipe = ImageFilesDataPipeline(str(tmp_path), cfg)
+  b0 = next(pipe.batches(seed=0))
+  b1 = next(pipe.batches(seed=1))
+  assert b0['image_input'].shape == b1['image_input'].shape
+  assert np.abs(b0['image_input'] - b1['image_input']).max() > 1e-3
+
+
+def test_crop_too_small_raises(tmp_path):
+  _write_dataset(tmp_path, size=(20, 20))
+  pipe = ImageFilesDataPipeline(str(tmp_path), _cfg())
+  with pytest.raises(ValueError):
+    next(pipe.batches())
+
+
+def test_records_roundtrip(tmp_path):
+  rng = np.random.RandomState(1)
+  samples = [{'image_input': (rng.rand(40, 40, 3) * 32767).astype(np.int16),
+              'image_output': (rng.rand(40, 40, 3) * 255).astype(np.uint8)}
+             for _ in range(5)]
+  with ShardWriter(str(tmp_path / 'rec'), records_per_file=2) as w:
+    for s in samples:
+      w.write(s)
+  reader = ShardReader(str(tmp_path / 'rec' / '*.npz'))
+  got = list(reader)
+  assert len(got) == 5
+  np.testing.assert_array_equal(got[0]['image_input'],
+                                samples[0]['image_input'])
+  assert reader.dtypes['image_output'] == np.uint8
+
+
+def test_hdrp_pipeline(tmp_path):
+  rng = np.random.RandomState(2)
+  with ShardWriter(str(tmp_path / 'rec')) as w:
+    for _ in range(3):
+      w.write({
+          'image_input': (rng.rand(48, 48, 3) * 32767).astype(np.int16),
+          'image_output': (rng.rand(48, 48, 3) * 255).astype(np.uint8)})
+  pipe = HDRpDataPipeline(str(tmp_path / 'rec'), _cfg())
+  batch = next(pipe.batches())
+  assert batch['image_input'].shape == (2, 32, 32, 3)
+  assert batch['image_input'].max() <= 1.0
+
+
+def test_style_transfer_pipeline(tmp_path):
+  _write_dataset(tmp_path, n=2)
+  # two style targets; outputs under output/<target>/<name>
+  rng = np.random.RandomState(3)
+  targets = ['styleA', 'styleB']
+  for t in targets:
+    Image.fromarray((rng.rand(48, 64, 3) * 255).astype(np.uint8)).save(
+        tmp_path / 'input' / f'{t}.png')
+    os.makedirs(tmp_path / 'output' / t, exist_ok=True)
+    for n in ('im0.png', 'im1.png'):
+      Image.fromarray((rng.rand(48, 64, 3) * 255).astype(np.uint8)).save(
+          tmp_path / 'output' / t / n)
+  with open(tmp_path / 'targets.txt', 'w') as f:
+    f.write('\n'.join(targets) + '\n')
+  pipe = StyleTransferDataPipeline(str(tmp_path), _cfg())
+  assert pipe.nsamples == 4  # 2 inputs x 2 targets
+  batch = next(pipe.batches())
+  assert batch['image_input'].shape == (2, 32, 32, 6)  # 6-channel input
+  assert batch['image_output'].shape == (2, 32, 32, 3)
+
+
+def test_unsharp_mask_pipeline(tmp_path):
+  _write_dataset(tmp_path)
+  cfg = _cfg(blur_sigma=2.0, sharpen=1.5)
+  pipe = UnsharpMaskDataPipeline(str(tmp_path), cfg)
+  batch = next(pipe.batches())
+  # target differs from input (it's sharpened) but is correlated
+  d = np.abs(batch['image_output'] - batch['image_input']).mean()
+  assert 0 < d < 0.5
+
+
+def test_prefetching_batches(tmp_path):
+  _write_dataset(tmp_path)
+  pipe = ImageFilesDataPipeline(str(tmp_path), _cfg(data_threads=2))
+  it = pipe.prefetching_batches()
+  b = next(it)
+  assert b['image_input'].shape == (2, 32, 32, 3)
+  next(it)
+
+
+def test_registry():
+  with pytest.raises(ValueError):
+    make_pipeline('/nonexistent', DataConfig(pipeline='Nope'))

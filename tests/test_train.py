@@ -1,0 +1,76 @@
+"""End-to-end training-loop tests: convergence, checkpoint resume, CLI
+config plumbing. Uses a tiny synthetic brighten-by-1.3x dataset."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture()
+def dataset(tmp_path):
+  rng = np.random.RandomState(0)
+  os.makedirs(tmp_path / 'input')
+  os.makedirs(tmp_path / 'output')
+  names = []
+  for i in range(4):
+    im = (rng.rand(80, 96, 3) * 255).astype(np.uint8)
+    out = np.clip(im.astype(np.float32) * 1.3, 0, 255).astype(np.uint8)
+    Image.fromarray(im).save(tmp_path / 'input' / f'im{i}.png')
+    Image.fromarray(out).save(tmp_path / 'output' / f'im{i}.png')
+    names.append(f'im{i}.png')
+  (tmp_path / 'filelist.txt').write_text('\n'.join(names))
+  return tmp_path
+
+
+def _config(max_steps):
+  from hdrnet_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+  return Config(
+      model=ModelConfig(model_name='HDRNetCurves', net_input_size=32,
+                        spatial_bin=8, luma_bins=4,
+                        output_resolution=[64, 64]),
+      data=DataConfig(batch_size=2, output_resolution=[64, 64],
+                      net_input_size=32, data_threads=1),
+      train=TrainConfig(learning_rate=3e-3, max_steps=max_steps,
+                        log_interval=9999, summary_interval=9999,
+                        checkpoint_interval=9999))
+
+
+def test_train_converges_and_resumes(dataset, tmp_path):
+  from hdrnet_tpu.config import Config
+  from hdrnet_tpu.training.loop import train
+
+  ckpt = str(tmp_path / 'ckpt')
+  state = train(_config(30), ckpt, str(dataset))
+  assert int(state.step) == 30
+  loss_30 = float(state.ema_loss)
+  assert np.isfinite(loss_30)
+
+  # Resume: picks up at step 30, trains to 45.
+  state2 = train(_config(45), ckpt, str(dataset))
+  assert int(state2.step) == 45
+  # Loss trends down across the resume (EMA(0.99) moves slowly but
+  # monotonically here).
+  assert float(state2.ema_loss) < loss_30
+
+  # config.json round-trips.
+  cfg = Config.load(ckpt)
+  assert cfg.model.model_name == 'HDRNetCurves'
+  assert cfg.model.spatial_bin == 8
+  # summaries written
+  assert os.path.exists(os.path.join(ckpt, 'summaries.jsonl'))
+
+
+def test_cli_arg_plumbing():
+  from hdrnet_tpu.bin.train import build_parser, config_from_args
+  args = build_parser().parse_args(
+      ['ckpt', 'data', '--luma_bins', '16', '--spatial_bin', '32',
+       '--batch_norm', '--data_pipeline', 'StyleTransferDataPipeline',
+       '--mesh_shape', '4', '2'])
+  cfg = config_from_args(args)
+  assert cfg.model.luma_bins == 16
+  assert cfg.model.spatial_bin == 32
+  assert cfg.model.batch_norm
+  assert cfg.model.n_in == 6  # style transfer concatenates the target
+  assert cfg.train.mesh_shape == [4, 2]
