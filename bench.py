@@ -94,11 +94,21 @@ def main():
       lambda g, gu, f, eps: bilateral_slice_apply(g, gu + eps, f).sum(),
       n, grid, guide4k, full4k)
 
-  # --- end-to-end model forward
-  def e2e(v, l, f, eps):
+  # --- end-to-end: fused serving path (guide computed in-kernel) ------
+  from hdrnet_tpu.inference import Enhancer
+  enh = Enhancer(config=cfg, variables=variables)
+  err(f'fused serving path: {enh.use_fused}')
+
+  def e2e(l, f, eps):
+    return enh._forward(l, f + eps).sum()
+  t_4k = _timed_chain(e2e, n, lowres, full4k)
+  t_1080 = _timed_chain(e2e, n, lowres, full1080)
+
+  # --- composite (unfused) model forward, for reference
+  def e2e_composite(v, l, f, eps):
     return model.apply(v, l, f + eps).sum()
-  t_4k = _timed_chain(e2e, n, variables, lowres, full4k)
-  t_1080 = _timed_chain(e2e, n, variables, lowres, full1080)
+  t_4k_composite = _timed_chain(e2e_composite, n, variables, lowres,
+                                full4k)
 
   fps_4k = 1.0 / t_4k
   gpix = H * W / t_slice / 1e9
@@ -108,7 +118,10 @@ def main():
   err(f'stage guide (4K)  : {t_guide * 1e3:7.2f} ms')
   err(f'stage slice-apply : {t_slice * 1e3:7.2f} ms '
       f'({gpix:.2f} GPix/s)')
-  err(f'end-to-end 4K     : {t_4k * 1e3:7.2f} ms  ({fps_4k:.1f} fps)')
+  err(f'end-to-end 4K     : {t_4k * 1e3:7.2f} ms  ({fps_4k:.1f} fps) '
+      f'[fused guide+slice+apply kernel]')
+  err(f'end-to-end 4K (composite): {t_4k_composite * 1e3:7.2f} ms  '
+      f'({1.0 / t_4k_composite:.1f} fps)')
   err(f'end-to-end 1080p  : {t_1080 * 1e3:7.2f} ms  '
       f'({1.0 / t_1080:.1f} fps)')
 
@@ -126,6 +139,7 @@ def main():
               'guide_4k': round(t_guide * 1e3, 3),
               'slice_apply_4k': round(t_slice * 1e3, 3),
               'end_to_end_4k': round(t_4k * 1e3, 3),
+              'end_to_end_4k_composite': round(t_4k_composite * 1e3, 3),
           },
       },
   }))

@@ -1,0 +1,172 @@
+"""High-throughput serving path.
+
+The deployment-speed equivalent of the reference's C++/GL processor
+stack (benchmark/src/processor.cc + renderer.cc): the coefficient net
+runs at 256x256, and ONE fused Pallas kernel does guide + slice + apply
+at full resolution — the guide never touches HBM, exactly like the
+reference's in-fragment-shader guide (std.frag:32-53).
+
+`Enhancer` extracts guide parameters from Flax variables (folding the
+center-only BN into the first conv for NN guides, as
+freeze_graph.py:141-142 does), jits one function per input shape, and
+falls back to the composite model.apply for configurations without a
+fused kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hdrnet_tpu.config import Config, ModelConfig
+from hdrnet_tpu.models import make_model
+from hdrnet_tpu.models.hdrnet import (HDRNetCurves, HDRNetGaussianPyrNN,
+                                      HDRNetPointwiseNNGuide)
+from hdrnet_tpu.ops import pallas as pk
+from hdrnet_tpu.ops.resize import resize_bilinear
+
+_BN_EPS = 1e-5
+
+
+def _curves_guide_params(gp, n_in):
+  ccm_ext = jnp.vstack([gp['ccm'], gp['ccm_bias'][None, :]])
+  curves = jnp.vstack([gp['shifts'], gp['slopes']])
+  mix = jnp.vstack([gp['channel_mixing_w'].reshape(n_in, 1),
+                    gp['channel_mixing_b'].reshape(1, 1)])
+  return (ccm_ext.astype(jnp.float32), curves.astype(jnp.float32),
+          mix.astype(jnp.float32))
+
+
+def _nn_guide_params(gp, gs, n_in):
+  """Folds BN into conv1 (freeze_graph.py:141-142)."""
+  w1 = gp['conv1']['conv']['kernel'].reshape(n_in, -1)
+  beta = gp['conv1']['bn']['bias']
+  mean = gs['conv1']['bn']['mean']
+  var = gs['conv1']['bn']['var']
+  scale = 1.0 / jnp.sqrt(var + _BN_EPS)
+  w1 = w1 * scale
+  b1 = beta - mean * scale
+  w1_ext = jnp.vstack([w1, b1[None, :]])
+  gc = w1.shape[1]
+  w2 = gp['conv2']['conv']['kernel'].reshape(gc, 1)
+  b2 = gp['conv2']['conv']['bias'].reshape(1, 1)
+  w2_ext = jnp.vstack([w2, b2])
+  return (w1_ext.astype(jnp.float32), w2_ext.astype(jnp.float32))
+
+
+class Enhancer:
+  """Loads a trained model and serves full-res enhancement."""
+
+  def __init__(self, checkpoint_dir=None, *, config=None, variables=None,
+               use_fused=True, interpret=False):
+    if checkpoint_dir is not None:
+      import optax
+      from hdrnet_tpu.training.checkpoint import Checkpointer
+      from hdrnet_tpu.training.step import create_state
+      config = Config.load(checkpoint_dir).model
+      self.model_cfg = config
+      model = make_model(config)
+      s = config.net_input_size
+      dummy_low = jnp.zeros((1, s, s, config.n_in), jnp.float32)
+      dummy_full = jnp.zeros((1, 64, 64, config.n_in), jnp.float32)
+      template = create_state(model, optax.adam(1e-4),
+                              jax.random.PRNGKey(0), dummy_low, dummy_full)
+      state = Checkpointer(checkpoint_dir).restore(template)
+      assert state is not None, f'no checkpoint in {checkpoint_dir}'
+      variables = {'params': state.params}
+      if state.batch_stats:
+        variables['batch_stats'] = state.batch_stats
+    else:
+      assert config is not None and variables is not None
+      self.model_cfg = config
+    self.model = make_model(self.model_cfg)
+    self.variables = variables
+    self.interpret = interpret
+    self.use_fused = use_fused and self._fusable()
+    self._jitted = {}
+
+  def _fusable(self):
+    if jax.default_backend() != 'tpu' and not self.interpret:
+      return False
+    return isinstance(self.model, (HDRNetCurves, HDRNetPointwiseNNGuide,
+                                   HDRNetGaussianPyrNN))
+
+  # -- guide parameter extraction ------------------------------------
+
+  def _guide_args(self):
+    params = self.variables['params']
+    stats = self.variables.get('batch_stats', {})
+    n_in = self.model_cfg.n_in
+    if isinstance(self.model, HDRNetGaussianPyrNN):
+      return [('nn', _nn_guide_params(params[f'guide_level_{l}'],
+                                      stats[f'guide_level_{l}'], n_in))
+              for l in range(self.model.n_scales)]
+    if isinstance(self.model, HDRNetPointwiseNNGuide):
+      return [('nn', _nn_guide_params(params['guide'], stats['guide'],
+                                      n_in))]
+    return [('curves', _curves_guide_params(params['guide'], n_in))]
+
+  # -- fused forward ----------------------------------------------------
+
+  def _fused_forward(self, lowres, fullres):
+    model, cfg = self.model, self.model_cfg
+    bb_vars = {'params': self.variables['params']['coefficients']}
+    if 'batch_stats' in self.variables and \
+        'coefficients' in self.variables['batch_stats']:
+      bb_vars['batch_stats'] = \
+          self.variables['batch_stats']['coefficients']
+    from hdrnet_tpu.models.hdrnet import CoefficientBackbone
+    backbone = CoefficientBackbone(cfg, model.n_out, model.n_in_tot)
+    grid = backbone.apply(bb_vars, lowres)
+    b, gh, gw, gd, no, ni1 = grid.shape
+    guide_args = self._guide_args()
+
+    if isinstance(self.model, HDRNetGaussianPyrNN):
+      n_scales = self.model.n_scales
+      levels = [fullres]
+      for _ in range(n_scales - 1):
+        h, w = levels[-1].shape[1:3]
+        levels.append(resize_bilinear(levels[-1], (h // 2, w // 2),
+                                      align_corners=True))
+      current = None
+      for il, lvl in enumerate(levels[::-1]):
+        mode, gparams = guide_args[::-1][il]
+        sub = grid[:, :, :, :, il * 3:(il + 1) * 3, :]
+        packed = sub.reshape(b, gh, gw, gd, 3 * ni1)
+        img_cf = jnp.transpose(lvl, (0, 3, 1, 2))
+        out_cf = pk.enhance_fused(packed, img_cf, gparams, mode, 3,
+                                  cfg.n_in, True,
+                                  interpret=self.interpret)
+        out = jnp.transpose(out_cf, (0, 2, 3, 1))
+        if current is None:
+          current = out
+        else:
+          current = resize_bilinear(current, out.shape[1:3],
+                                    align_corners=True) + out
+      return current
+
+    mode, gparams = guide_args[0]
+    packed = grid.reshape(b, gh, gw, gd, no * ni1)
+    img_cf = jnp.transpose(fullres, (0, 3, 1, 2))
+    out_cf = pk.enhance_fused(packed, img_cf, gparams, mode, no,
+                              cfg.n_in, True, interpret=self.interpret)
+    return jnp.transpose(out_cf, (0, 2, 3, 1))
+
+  def _forward(self, lowres, fullres):
+    if self.use_fused and pk.feasible(fullres.shape[1], fullres.shape[2],
+                                      self.model_cfg.spatial_bin,
+                                      self.model_cfg.spatial_bin):
+      return self._fused_forward(lowres, fullres)
+    return self.model.apply(self.variables, lowres, fullres)
+
+  def __call__(self, lowres, fullres, clip=True):
+    key = (lowres.shape, fullres.shape, bool(clip))
+    if key not in self._jitted:
+      def fn(lowres, fullres):
+        out = self._forward(lowres, fullres)
+        return jnp.clip(out, 0.0, 1.0) if clip else out
+      self._jitted[key] = jax.jit(fn)
+    return self._jitted[key](lowres, fullres)

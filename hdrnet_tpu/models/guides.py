@@ -13,6 +13,7 @@ These are the only learned full-res components; everything is pointwise
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,9 +37,15 @@ class CurveGuide(nn.Module):
 
     # Color space change: learned matrix init'd near identity
     # (models.py:152-160 adds a single shared N(0,1)*1e-4 perturbation).
+    # HIGHEST precision: TPU f32 matmuls default to bf16 passes, which
+    # perturbs the guide by ~3e-3 and gets amplified ~gd-fold through
+    # the depth-slicing coordinate. The reference computes the guide in
+    # full f32 (models.py:157); a 3x3/pixel matmul at full precision is
+    # free.
     ccm = self.param('ccm', _identity_plus_noise, (nchans, nchans))
     ccm_bias = self.param('ccm_bias', nn.initializers.zeros, (nchans,))
-    g = jnp.einsum('...c,cd->...d', x, ccm) + ccm_bias
+    g = jnp.einsum('...c,cd->...d', x, ccm,
+                   precision=jax.lax.Precision.HIGHEST) + ccm_bias
 
     # Per-channel piecewise-linear curve: sum of shifted ReLUs with
     # learned knots (shifts) and slopes (models.py:163-175). Init:
@@ -62,7 +69,8 @@ class CurveGuide(nn.Module):
     mix_w = self.param('channel_mixing_w',
                        nn.initializers.constant(1.0 / nchans), (nchans, 1))
     mix_b = self.param('channel_mixing_b', nn.initializers.zeros, (1,))
-    g = jnp.einsum('...c,co->...o', g, mix_w) + mix_b
+    g = jnp.einsum('...c,co->...o', g, mix_w,
+                   precision=jax.lax.Precision.HIGHEST) + mix_b
     return jnp.clip(g[..., 0], 0.0, 1.0)
 
 
@@ -84,7 +92,7 @@ class PointwiseNNGuide(nn.Module):
   @nn.compact
   def __call__(self, x, train=False):
     g = ConvBlock(self.guide_complexity, kernel_size=1, batch_norm=True,
-                  name='conv1')(x, train=train)
+                  precision='highest', name='conv1')(x, train=train)
     g = ConvBlock(1, kernel_size=1, activation=nn.sigmoid,
-                  name='conv2')(g, train=train)
+                  precision='highest', name='conv2')(g, train=train)
     return g[..., 0]

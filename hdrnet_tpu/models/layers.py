@@ -30,6 +30,10 @@ class ConvBlock(nn.Module):
   use_bias: bool = True
   batch_norm: bool = False
   activation: Optional[Callable] = nn.relu
+  # Full-f32 matmuls by default: TPU 'default' runs f32 matmuls as bf16
+  # passes (~1e-3 error); the reference computes everything in f32 and
+  # the coefficient net is latency-bound, so HIGHEST is ~free here.
+  precision: Optional[str] = 'highest'
 
   @nn.compact
   def __call__(self, x, train=False):
@@ -41,6 +45,7 @@ class ConvBlock(nn.Module):
         padding='SAME',
         use_bias=self.use_bias and not self.batch_norm,
         kernel_init=he_normal,
+        precision=self.precision,
         name='conv')(x)
     if self.batch_norm:
       x = nn.BatchNorm(
@@ -61,12 +66,14 @@ class DenseBlock(nn.Module):
   use_bias: bool = True
   batch_norm: bool = False
   activation: Optional[Callable] = nn.relu
+  precision: Optional[str] = 'highest'
 
   @nn.compact
   def __call__(self, x, train=False):
     x = nn.Dense(self.features,
                  use_bias=self.use_bias and not self.batch_norm,
-                 kernel_init=he_normal, name='fc')(x)
+                 kernel_init=he_normal, precision=self.precision,
+                 name='fc')(x)
     if self.batch_norm:
       x = nn.BatchNorm(use_running_average=not train, use_scale=False,
                        use_bias=True, momentum=0.999, name='bn')(x)

@@ -86,17 +86,36 @@ def _plan_axis(extent, n_cells_total, tile):
   return _AxisPlan(tile, n_tiles, n_cells, lo.astype(np.int32))
 
 
+# Experimental override: (tile_y, tile_x) forced tile sizes, or None.
+_TILE_OVERRIDE = None
+
+
 def _choose_tile(extent, n_cells_total, lane_dim):
-  """Pick a tile size: hardware-aligned, window <= _MAX_CELLS."""
+  """Pick a tile size: hardware-aligned, window <= _MAX_CELLS, and a
+  small window preferred (the inner loops scale with NCY)."""
+  if _TILE_OVERRIDE is not None:
+    forced = _TILE_OVERRIDE[1 if lane_dim else 0]
+    return _plan_axis(extent, n_cells_total, forced)
   if lane_dim:
-    candidates = [256, 128] if extent > 1536 else [128]
+    candidates = [512, 256, 128] if extent > 1536 else [256, 128]
   else:
     candidates = [256, 128, 64, 32, 16, 8]
+  best = None
   for tile in candidates:
     plan = _plan_axis(extent, n_cells_total, tile)
-    if plan.n_cells <= _MAX_CELLS:
-      return plan
-  return None
+    if plan.n_cells > _MAX_CELLS:
+      continue
+    # Prefer the smallest cell window (the kernel inner loops scale
+    # with it); break ties toward bigger tiles.
+    if best is None or plan.n_cells < best.n_cells:
+      best = plan
+  return best
+
+
+# Conservative per-tile VMEM budget: ~24 live f32 planes (accumulators,
+# depth one-hots, in/out double buffering). Tiles above this OOM the
+# 16MB VMEM (observed at (256, 512)).
+_MAX_TILE_PIXELS = 128 * 1024
 
 
 def plan_tiles(h, w, gh, gw):
@@ -105,6 +124,12 @@ def plan_tiles(h, w, gh, gw):
   xp = _choose_tile(w, gw, lane_dim=True)
   if yp is None or xp is None:
     return None
+  if yp.tile * xp.tile > _MAX_TILE_PIXELS:
+    smaller = _plan_axis(h, gh, max(8, _MAX_TILE_PIXELS // xp.tile))
+    if smaller.n_cells <= _MAX_CELLS:
+      yp = smaller
+    else:
+      return None
   return yp, xp
 
 
@@ -127,6 +152,13 @@ class _Cfg:
   has_offset: bool
   sy: float  # gh / logical H
   sx: float  # gw / logical W
+  # In-kernel guide computation (inference fast path): 'external' uses a
+  # guide input; 'curves'/'nn' compute the guide from the image tile +
+  # tiny parameter arrays — the TPU analog of the reference's in-shader
+  # guide (benchmark/assets/std.frag:32-53).
+  guide_mode: str = 'external'
+  n_pts: int = 16          # curve knots (models.py:146)
+  guide_complexity: int = 16  # NN guide hidden width (models.py:204)
 
   @property
   def ni_tot(self):
@@ -245,6 +277,48 @@ def _make_wy_wx(cfg, a0, b0, ty, tx):
   return wy, wx
 
 
+def _curves_guide(cfg, img, ccm_ref, curves_ref, mix_ref):
+  """In-kernel curves guide (models.py:144-190): learned color matrix ->
+  per-channel 16-knot PWL curve -> channel mix -> clip [0, 1].
+
+  img: list of n_in channel planes. ccm_ref: (n_in+1, n_in) matrix+bias.
+  curves_ref: (2*n_in, n_pts) = shifts rows then slopes rows.
+  mix_ref: (n_in+1, 1) mixing weights + bias.
+  """
+  n = cfg.n_in
+  acc = None
+  for c in range(n):
+    g = ccm_ref[n, c] * jnp.ones((cfg.th, cfg.tw), jnp.float32)
+    for j in range(n):
+      g = g + img[j] * ccm_ref[j, c]
+    cur = jnp.zeros((cfg.th, cfg.tw), jnp.float32)
+    for p in range(cfg.n_pts):
+      cur = cur + curves_ref[n + c, p] * jnp.maximum(
+          g - curves_ref[c, p], 0.0)
+    term = cur * mix_ref[c, 0]
+    acc = term if acc is None else acc + term
+  acc = acc + mix_ref[n, 0]
+  return jnp.clip(acc, 0.0, 1.0)
+
+
+def _nn_guide(cfg, img, w1_ref, w2_ref):
+  """In-kernel pointwise NN guide (models.py:199-210) with the BN
+  pre-folded into conv1 (as the reference's deployment dump does,
+  freeze_graph.py:141-142).
+
+  w1_ref: (n_in+1, gc) conv1 weights + folded bias row.
+  w2_ref: (gc+1, 1) conv2 weights + bias.
+  """
+  n, gc = cfg.n_in, cfg.guide_complexity
+  acc = w2_ref[gc, 0] * jnp.ones((cfg.th, cfg.tw), jnp.float32)
+  for k in range(gc):
+    h = w1_ref[n, k] * jnp.ones((cfg.th, cfg.tw), jnp.float32)
+    for j in range(n):
+      h = h + img[j] * w1_ref[j, k]
+    acc = acc + jnp.maximum(h, 0.0) * w2_ref[k, 0]
+  return jax.nn.sigmoid(acc)
+
+
 def _fwd_kernel(cfg, a0_ref, b0_ref, lg_ref, guide_ref, *rest):
   if cfg.n_in:
     img_ref, out_ref = rest
@@ -257,17 +331,48 @@ def _fwd_kernel(cfg, a0_ref, b0_ref, lg_ref, guide_ref, *rest):
   wz = _depth_onehot_weights(guide, cfg.gd)
   sliced = _accumulate_sliced(cfg, lg_ref, wy, wx, wz)
 
-  ni1 = cfg.ni_tot
   if cfg.n_in:
-    for i in range(cfg.n_out):
-      acc = (sliced[i * ni1 + cfg.n_in] if cfg.has_offset
-             else jnp.zeros((cfg.th, cfg.tw), jnp.float32))
-      for j in range(cfg.n_in):
-        acc = acc + sliced[i * ni1 + j] * img_ref[0, j]
-      out_ref[0, i] = acc
+    img = [img_ref[0, j] for j in range(cfg.n_in)]
+    _apply_epilogue(cfg, sliced, img, out_ref)
   else:
     for c in range(cfg.channels):
       out_ref[0, c] = sliced[c]
+
+
+def _apply_epilogue(cfg, sliced, img, out_ref):
+  """out[i] = sum_j sliced[i, j] * img[j] + offset
+  (bilateral_slice_apply.cc:72-77)."""
+  ni1 = cfg.ni_tot
+  for i in range(cfg.n_out):
+    acc = (sliced[i * ni1 + cfg.n_in] if cfg.has_offset
+           else jnp.zeros((cfg.th, cfg.tw), jnp.float32))
+    for j in range(cfg.n_in):
+      acc = acc + sliced[i * ni1 + j] * img[j]
+    out_ref[0, i] = acc
+
+
+def _fused_fwd_kernel(cfg, a0_ref, b0_ref, lg_ref, img_ref, *rest):
+  """Forward with the guide computed in-kernel from the image tile.
+
+  Eliminates the full-res guide's HBM round trip and XLA overhead —
+  the TPU analog of the reference's free in-shader guide
+  (std.frag:32-53). Inference fast path (no VJP).
+  """
+  out_ref = rest[-1]
+  params = rest[:-1]
+  ty = pl.program_id(1)
+  tx = pl.program_id(2)
+  img = [img_ref[0, j] for j in range(cfg.n_in)]
+  if cfg.guide_mode == 'curves':
+    guide = _curves_guide(cfg, img, *params)
+  elif cfg.guide_mode == 'nn':
+    guide = _nn_guide(cfg, img, *params)
+  else:
+    raise ValueError(cfg.guide_mode)
+  wy, wx = _make_wy_wx(cfg, a0_ref[ty], b0_ref[tx], ty, tx)
+  wz = _depth_onehot_weights(guide, cfg.gd)
+  sliced = _accumulate_sliced(cfg, lg_ref, wy, wx, wz)
+  _apply_epilogue(cfg, sliced, img, out_ref)
 
 
 def _pix_bwd_kernel(cfg, a0_ref, b0_ref, lg_ref, guide_ref, *rest):
@@ -406,6 +511,65 @@ def slice_apply_fwd(grid5, guide, image_cf, n_out, n_in, has_offset,
           out_specs=chan_spec(n_out),
       ),
       out_shape=jax.ShapeDtypeStruct((b, n_out, h_pad, w_pad), jnp.float32),
+      interpret=interpret,
+  )(a0, b0, *operands)
+  return out[:, :, :h, :w]
+
+
+def enhance_fused(grid5, image_cf, guide_params, guide_mode, n_out, n_in,
+                  has_offset=True, interpret=False):
+  """Fused guide + slice + apply forward (inference fast path).
+
+  grid5 (B,gh,gw,gd,C) packed; image_cf (B,n_in,H,W) channel-first;
+  guide_params: tuple of small 2-D f32 arrays —
+    'curves': (ccm_ext (n_in+1, n_in), curves (2*n_in, n_pts),
+               mix (n_in+1, 1))
+    'nn':     (w1_ext (n_in+1, gc), w2_ext (gc+1, 1))  [BN pre-folded]
+  Returns (B, n_out, H, W).
+  """
+  b, _, h, w = image_cf.shape
+  _, gh, gw, gd, _ = grid5.shape
+  plans = plan_tiles(h, w, gh, gw)
+  assert plans is not None, 'caller must check feasible()'
+  yp, xp = plans
+  lg = _extract_cell_windows(grid5, yp, xp)
+  a0 = jnp.asarray(yp.starts)
+  b0 = jnp.asarray(xp.starts)
+  h_pad, w_pad = yp.tile * yp.n_tiles, xp.tile * xp.n_tiles
+
+  cfg = _cfg_from(grid5, yp, xp, h, w, n_out, n_in, has_offset)
+  if guide_mode == 'curves':
+    n_pts = guide_params[1].shape[1]
+    cfg = dataclasses.replace(cfg, guide_mode='curves', n_pts=n_pts)
+  elif guide_mode == 'nn':
+    gc = guide_params[0].shape[1]
+    cfg = dataclasses.replace(cfg, guide_mode='nn', guide_complexity=gc)
+  else:
+    raise ValueError(guide_mode)
+  lg_spec, _, chan_spec = _make_specs(cfg, yp.n_tiles, xp.n_tiles)
+
+  def param_spec(arr):
+    shape = arr.shape
+    return pl.BlockSpec(shape, lambda b_, ty, tx, *_: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+  operands = [lg, _pad_hw(image_cf, h_pad, w_pad)]
+  in_specs = [lg_spec, chan_spec(n_in)]
+  for arr in guide_params:
+    arr = jnp.asarray(arr, jnp.float32)
+    operands.append(arr)
+    in_specs.append(param_spec(arr))
+
+  out = pl.pallas_call(
+      functools.partial(_fused_fwd_kernel, cfg),
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=2,
+          grid=(b, yp.n_tiles, xp.n_tiles),
+          in_specs=in_specs,
+          out_specs=chan_spec(n_out),
+      ),
+      out_shape=jax.ShapeDtypeStruct((b, n_out, h_pad, w_pad),
+                                     jnp.float32),
       interpret=interpret,
   )(a0, b0, *operands)
   return out[:, :, :h, :w]

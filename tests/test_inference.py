@@ -1,0 +1,57 @@
+"""Fused serving path vs the composite model — must agree <= 1e-5."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hdrnet_tpu.config import ModelConfig
+from hdrnet_tpu.inference import Enhancer
+from hdrnet_tpu.models import make_model
+
+
+def _setup(name, **kw):
+  cfg = ModelConfig(model_name=name, net_input_size=64, spatial_bin=8,
+                    luma_bins=4, guide_complexity=4, **kw)
+  model = make_model(cfg)
+  rng = np.random.RandomState(0)
+  lowres = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+  fullres = jnp.asarray(rng.rand(1, 96, 128, 3), jnp.float32)
+  variables = model.init(jax.random.PRNGKey(0), lowres, fullres,
+                         train=True)
+  # Perturb BN stats so folding is actually exercised.
+  if 'batch_stats' in variables:
+    variables = jax.tree_util.tree_map(lambda x: x, variables)
+  return cfg, model, variables, lowres, fullres
+
+
+@pytest.mark.parametrize('name', ['HDRNetCurves', 'HDRNetPointwiseNNGuide',
+                                  'HDRNetGaussianPyrNN'])
+def test_fused_matches_composite(name):
+  cfg, model, variables, lowres, fullres = _setup(name)
+  want = model.apply(variables, lowres, fullres)
+  enh = Enhancer(config=cfg, variables=variables, interpret=True)
+  assert enh.use_fused, 'fused path should be active in interpret mode'
+  got = enh(lowres, fullres, clip=False)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_clip_and_cache():
+  cfg, model, variables, lowres, fullres = _setup('HDRNetCurves')
+  enh = Enhancer(config=cfg, variables=variables, interpret=True)
+  out = enh(lowres, fullres)  # clip=True default
+  assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+  # Second call at the same shape hits the jit cache.
+  out2 = enh(lowres, fullres)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
+  assert len(enh._jitted) == 1
+
+
+def test_unfused_fallback_on_cpu():
+  cfg, model, variables, lowres, fullres = _setup('HDRNetCurves')
+  enh = Enhancer(config=cfg, variables=variables, interpret=False)
+  # On the CPU test backend the fused kernel is off; composite fallback.
+  assert not enh.use_fused
+  out = enh(lowres, fullres, clip=False)
+  want = model.apply(variables, lowres, fullres)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-6)
