@@ -39,6 +39,8 @@ def build_parser():
   t.add_argument('--seed', type=int, default=1234)
   t.add_argument('--mesh_shape', type=int, nargs=2, default=None,
                  help='(data, spatial) mesh; default all-devices DP')
+  t.add_argument('--profile_dir', default=None,
+                 help='write a jax.profiler trace of steps 10-15 here')
 
   d = p.add_argument_group('data pipeline')
   d.add_argument('--batch_size', default=16, type=int)
@@ -108,7 +110,8 @@ def config_from_args(args):
           eval_interval=args.eval_interval,
           max_steps=args.max_steps,
           seed=args.seed,
-          mesh_shape=args.mesh_shape))
+          mesh_shape=args.mesh_shape,
+          profile_dir=args.profile_dir))
 
 
 def main(argv=None):

@@ -79,6 +79,10 @@ class TrainConfig:
   seed: int = 1234
   # Parallelism: devices along the (data, spatial) mesh axes; None = auto.
   mesh_shape: Optional[List[int]] = None
+  # Write a jax.profiler trace of steps 10-15 here (the reference's
+  # --profiling flag existed but was never consumed, bin/train.py:207;
+  # this one works).
+  profile_dir: Optional[str] = None
 
 
 @dataclasses.dataclass

@@ -13,6 +13,7 @@ from hdrnet_tpu.models.hdrnet import (
     HDRNetPointwiseNNGuide,
 )
 from hdrnet_tpu.models.baselines import DilatedConvolutions, UNet
+from hdrnet_tpu.models.extended import EXTENDED_MODELS
 
 MODELS = {
     'HDRNetCurves': HDRNetCurves,
@@ -20,6 +21,7 @@ MODELS = {
     'HDRNetGaussianPyrNN': HDRNetGaussianPyrNN,
     'UNet': UNet,
     'DilatedConvolutions': DilatedConvolutions,
+    **EXTENDED_MODELS,
 }
 
 __all__ = list(MODELS) + ['MODELS', 'CoefficientBackbone', 'make_model']

@@ -124,12 +124,21 @@ def train(config: Config, checkpoint_dir, data_dir, eval_data_dir=None,
     log.info('  Evaluation PSNR = %.1f dB (%d images)', p, len(psnrs))
     return p
 
+  profiling = False
   try:
     for batch in batches:
       if limit is not None and step_no >= limit:
         break
+      if tc.profile_dir and step_no == 10 and not profiling:
+        jax.profiler.start_trace(tc.profile_dir)
+        profiling = True
       state, m = train_step(state, batch)
       step_no += 1
+      if profiling and step_no >= 15:
+        jax.block_until_ready(m)
+        jax.profiler.stop_trace()
+        profiling = False
+        log.info('wrote profiler trace to %s', tc.profile_dir)
 
       now = time.time()
       if now - last_log >= tc.log_interval:
@@ -149,6 +158,8 @@ def train(config: Config, checkpoint_dir, data_dir, eval_data_dir=None,
   except KeyboardInterrupt:
     log.info('interrupted')
   finally:
+    if profiling:
+      jax.profiler.stop_trace()
     log.info('training done at step %d, saving final checkpoint', step_no)
     ckpt.save(step_no, state, force=True)
     ckpt.wait()

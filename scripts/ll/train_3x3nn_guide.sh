@@ -1,0 +1,10 @@
+#!/bin/bash
+# Local Laplacian, HDRNet3x3NNGuide (reference: scripts/ll/train_3x3nn_guide.sh).
+python -m hdrnet_tpu.bin.train \
+        output/checkpoints/ll_2048_3x3nn_guide \
+        data/local_laplacian_hl_2048/train/filelist.txt \
+        --eval_data_dir data/local_laplacian_hl_2048/test/filelist.txt \
+        --learning_rate 1e-4 --batch_size 1 \
+        --model_name HDRNet3x3NNGuide --nobatch_norm \
+        --output_resolution 2048 2048 \
+        --luma_bins 8 --spatial_bin 16 --channel_multiplier 1

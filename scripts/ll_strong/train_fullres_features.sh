@@ -1,0 +1,11 @@
+#!/bin/bash
+# Strong Local Laplacian @1024, HDRNetFullresFeatures
+# (reference: scripts/ll_strong/train_fullres_features.sh).
+python -m hdrnet_tpu.bin.train \
+        output/checkpoints/ll_strong_1024_fullres_features \
+        data/local_laplacian_2048/train/filelist.txt \
+        --eval_data_dir data/local_laplacian_2048/test/filelist.txt \
+        --learning_rate 1e-4 --batch_size 4 \
+        --model_name HDRNetFullresFeatures --nobatch_norm \
+        --output_resolution 1024 1024 \
+        --luma_bins 8 --spatial_bin 16 --channel_multiplier 1

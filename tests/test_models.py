@@ -17,14 +17,16 @@ from hdrnet_tpu.training.metrics import l2_loss, psnr
 
 
 def small_cfg(name, **kw):
+  if name.startswith('StyleTransfer'):
+    kw.setdefault('n_in', 6)
   return ModelConfig(model_name=name, net_input_size=64, spatial_bin=8,
                      luma_bins=4, guide_complexity=4, depth=3, width=8,
                      **kw)
 
 
-def _data(rng, b=2, low=64, h=96, w=112):
-  lowres = jnp.asarray(rng.rand(b, low, low, 3), jnp.float32)
-  fullres = jnp.asarray(rng.rand(b, h, w, 3), jnp.float32)
+def _data(rng, b=2, low=64, h=96, w=112, c=3):
+  lowres = jnp.asarray(rng.rand(b, low, low, c), jnp.float32)
+  fullres = jnp.asarray(rng.rand(b, h, w, c), jnp.float32)
   return lowres, fullres
 
 
@@ -33,7 +35,7 @@ def test_forward_shapes_and_grads(name):
   rng = np.random.RandomState(0)
   cfg = small_cfg(name)
   model = make_model(cfg)
-  lowres, fullres = _data(rng)
+  lowres, fullres = _data(rng, c=cfg.n_in)
   variables = model.init(jax.random.PRNGKey(0), lowres, fullres)
   out = model.apply(variables, lowres, fullres)
   assert out.shape == fullres.shape[:3] + (3,)
@@ -43,7 +45,8 @@ def test_forward_shapes_and_grads(name):
     o = model.apply({'params': params, **{k: v for k, v in variables.items()
                                           if k != 'params'}},
                     lowres, fullres)
-    return l2_loss(fullres, o)
+    # Style-transfer models map 6-channel inputs to 3-channel outputs.
+    return l2_loss(fullres[..., :o.shape[-1]], o)
 
   g = jax.grad(loss)(variables['params'])
   leaves = jax.tree_util.tree_leaves(g)
