@@ -170,3 +170,65 @@ class Enhancer:
         return jnp.clip(out, 0.0, 1.0) if clip else out
       self._jitted[key] = jax.jit(fn)
     return self._jitted[key](lowres, fullres)
+
+  # -- spatially-sharded giant-image inference -------------------------
+
+  def enhance_sharded(self, lowres, fullres, mesh, clip=True):
+    """Full-res image sharded along H across every device of `mesh`.
+
+    Zero-halo SPMD (SURVEY.md §5.7): the coefficient grid is tiny and
+    replicated; the guide + slice-apply are pointwise, so each device
+    runs the fused kernel on its own H-band with only a pixel-offset
+    scalar distinguishing it — no collective in the full-res path at
+    all. For 4K+/full-sensor frames that exceed one chip's latency
+    budget, throughput scales linearly over ICI.
+    """
+    from jax.sharding import PartitionSpec as P
+    from hdrnet_tpu.models.hdrnet import CoefficientBackbone
+
+    assert not isinstance(self.model, HDRNetGaussianPyrNN), (
+        'sharded path covers the single-grid models')
+    cfg, model = self.model_cfg, self.model
+    axes = mesh.axis_names
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    b, h, w, _ = fullres.shape
+    assert h % n_dev == 0, (h, n_dev)
+    h_local = h // n_dev
+
+    bb_vars = {'params': self.variables['params']['coefficients']}
+    if 'coefficients' in self.variables.get('batch_stats', {}):
+      bb_vars['batch_stats'] = self.variables['batch_stats'][
+          'coefficients']
+    backbone = CoefficientBackbone(cfg, model.n_out, model.n_in_tot)
+    mode, gparams = self._guide_args()[0]
+    interpret = self.interpret
+
+    def shard_fn(packed, img_cf, *gp):
+      idx = jax.lax.axis_index(axes[0])
+      if len(axes) > 1:
+        for ax in axes[1:]:
+          idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+      y_off = idx * h_local
+      return pk.enhance_fused(packed, img_cf, gp, mode, model.n_out,
+                              cfg.n_in, True, interpret=interpret,
+                              y_offset=y_off, h_total=h, w_total=w)
+
+    img_spec = P(None, None, axes, None)  # (B, C, H/n, W)
+    rep = P()
+
+    @jax.jit
+    def run(lowres, fullres, gparams):
+      grid = backbone.apply(bb_vars, lowres)
+      b_, gh, gw, gd, no, ni1 = grid.shape
+      packed = grid.reshape(b_, gh, gw, gd, no * ni1)
+      img_cf = jnp.transpose(fullres, (0, 3, 1, 2))
+      # check_vma=False: pallas_call out_shapes don't carry varying-
+      # mesh-axis metadata.
+      out_cf = jax.shard_map(
+          shard_fn, mesh=mesh,
+          in_specs=(rep, img_spec) + tuple(rep for _ in gparams),
+          out_specs=img_spec, check_vma=False)(packed, img_cf, *gparams)
+      out = jnp.transpose(out_cf, (0, 2, 3, 1))
+      return jnp.clip(out, 0.0, 1.0) if clip else out
+
+    return run(lowres, fullres, gparams)

@@ -269,11 +269,15 @@ def _accumulate_sliced(cfg, lg_ref, wy, wx, wz_list, dwz_list=None):
   return sliced
 
 
-def _make_wy_wx(cfg, a0, b0, ty, tx):
-  wy = _spatial_onehot_weights(ty * cfg.th, cfg.th, cfg.sy, a0, cfg.ncy,
-                               (cfg.th, 1), 0)
-  wx = _spatial_onehot_weights(tx * cfg.tw, cfg.tw, cfg.sx, b0, cfg.ncx,
-                               (1, cfg.tw), 1)
+def _make_wy_wx(cfg, a0, b0, off_ref, ty, tx):
+  """Spatial one-hot weights; off_ref holds the shard's (y, x) pixel
+  offset in the *global* image (zero when unsharded), so the same
+  kernel serves spatially-sharded giant-image inference with zero halo
+  (SURVEY.md §5.7)."""
+  wy = _spatial_onehot_weights(ty * cfg.th + off_ref[0], cfg.th, cfg.sy,
+                               a0, cfg.ncy, (cfg.th, 1), 0)
+  wx = _spatial_onehot_weights(tx * cfg.tw + off_ref[1], cfg.tw, cfg.sx,
+                               b0, cfg.ncx, (1, cfg.tw), 1)
   return wy, wx
 
 
@@ -319,14 +323,14 @@ def _nn_guide(cfg, img, w1_ref, w2_ref):
   return jax.nn.sigmoid(acc)
 
 
-def _fwd_kernel(cfg, a0_ref, b0_ref, lg_ref, guide_ref, *rest):
+def _fwd_kernel(cfg, a0_ref, b0_ref, off_ref, lg_ref, guide_ref, *rest):
   if cfg.n_in:
     img_ref, out_ref = rest
   else:
     (out_ref,) = rest
   ty = pl.program_id(1)
   tx = pl.program_id(2)
-  wy, wx = _make_wy_wx(cfg, a0_ref[ty], b0_ref[tx], ty, tx)
+  wy, wx = _make_wy_wx(cfg, a0_ref[ty], b0_ref[tx], off_ref, ty, tx)
   guide = guide_ref[0]
   wz = _depth_onehot_weights(guide, cfg.gd)
   sliced = _accumulate_sliced(cfg, lg_ref, wy, wx, wz)
@@ -351,7 +355,7 @@ def _apply_epilogue(cfg, sliced, img, out_ref):
     out_ref[0, i] = acc
 
 
-def _fused_fwd_kernel(cfg, a0_ref, b0_ref, lg_ref, img_ref, *rest):
+def _fused_fwd_kernel(cfg, a0_ref, b0_ref, off_ref, lg_ref, img_ref, *rest):
   """Forward with the guide computed in-kernel from the image tile.
 
   Eliminates the full-res guide's HBM round trip and XLA overhead —
@@ -369,13 +373,13 @@ def _fused_fwd_kernel(cfg, a0_ref, b0_ref, lg_ref, img_ref, *rest):
     guide = _nn_guide(cfg, img, *params)
   else:
     raise ValueError(cfg.guide_mode)
-  wy, wx = _make_wy_wx(cfg, a0_ref[ty], b0_ref[tx], ty, tx)
+  wy, wx = _make_wy_wx(cfg, a0_ref[ty], b0_ref[tx], off_ref, ty, tx)
   wz = _depth_onehot_weights(guide, cfg.gd)
   sliced = _accumulate_sliced(cfg, lg_ref, wy, wx, wz)
   _apply_epilogue(cfg, sliced, img, out_ref)
 
 
-def _pix_bwd_kernel(cfg, a0_ref, b0_ref, lg_ref, guide_ref, *rest):
+def _pix_bwd_kernel(cfg, a0_ref, b0_ref, off_ref, lg_ref, guide_ref, *rest):
   """Fused guide + input cotangents (bilateral_slice_apply.cc:140-259)."""
   if cfg.n_in:
     img_ref, ct_ref, dguide_ref, dimg_ref = rest
@@ -383,7 +387,7 @@ def _pix_bwd_kernel(cfg, a0_ref, b0_ref, lg_ref, guide_ref, *rest):
     ct_ref, dguide_ref = rest
   ty = pl.program_id(1)
   tx = pl.program_id(2)
-  wy, wx = _make_wy_wx(cfg, a0_ref[ty], b0_ref[tx], ty, tx)
+  wy, wx = _make_wy_wx(cfg, a0_ref[ty], b0_ref[tx], off_ref, ty, tx)
   guide = guide_ref[0]
   wz = _depth_onehot_weights(guide, cfg.gd)
   dwz = _depth_onehot_weights(guide, cfg.gd, derivative=True)
@@ -454,6 +458,78 @@ def _common_setup(grid5, guide, h, w):
   return yp, xp, lg, a0, b0, h_pad, w_pad
 
 
+# --- spatially-sharded (traced-offset) planning -----------------------------
+
+
+def _sharded_axis_plan(extent_local, extent_total, cells, lane_dim):
+  """Axis plan valid for a shard at ANY pixel offset.
+
+  The tap span across a tile is D = (tile-1) * scale, so the universal
+  cell-window bound is max_a(floor(a+D) - floor(a)) + 2 = ceil(D) + 2
+  (first tap's floor cell, every boundary crossing, plus the +1 tap).
+  """
+  base = _choose_tile(extent_total, cells, lane_dim)
+  if base is None:
+    return None
+  n_cells = int(np.ceil((base.tile - 1) * cells / extent_total)) + 2
+  if n_cells > _MAX_CELLS:
+    return None
+  n_tiles = _round_up(extent_local, base.tile) // base.tile
+  return _AxisPlan(base.tile, n_tiles, n_cells, None)
+
+
+def _traced_starts(plan, offset, scale):
+  t = jnp.arange(plan.n_tiles, dtype=jnp.float32) * plan.tile
+  first = offset.astype(jnp.float32) + t
+  return jnp.floor((first + 0.5) * scale - 0.5).astype(jnp.int32)
+
+
+def _extract_cell_windows_traced(grid5, yp, xp, a0, b0):
+  """Traced-index variant of _extract_cell_windows (same layout)."""
+  b, gh, gw, gd, c = grid5.shape
+  iy = jnp.clip(a0[:, None] + jnp.arange(yp.n_cells)[None, :], 0, gh - 1)
+  ix = jnp.clip(b0[:, None] + jnp.arange(xp.n_cells)[None, :], 0, gw - 1)
+  lg = jnp.take(grid5, iy.reshape(-1), axis=1)
+  lg = lg.reshape(b, yp.n_tiles, yp.n_cells, gw, gd, c)
+  lg = jnp.take(lg, ix.reshape(-1), axis=3)
+  lg = lg.reshape(b, yp.n_tiles, yp.n_cells, xp.n_tiles, xp.n_cells, gd, c)
+  lg = lg.transpose(0, 1, 3, 2, 5, 6, 4)
+  return lg.reshape(b * yp.n_tiles * xp.n_tiles,
+                    yp.n_cells, gd * c, xp.n_cells)
+
+
+def _sharded_setup(grid5, h_local, w_local, h_total, w_total, y_offset,
+                   x_offset):
+  """Plan for a shard of a larger image. An axis with offset None is
+  unsharded: it gets the exact static plan; a sharded axis gets the
+  offset-universal window and traced cell starts."""
+  b, gh, gw, gd, _ = grid5.shape
+  if y_offset is None:
+    yp = _choose_tile(h_total, gh, lane_dim=False)
+    assert yp is not None and h_local == h_total
+    a0 = jnp.asarray(yp.starts)
+    y_off = jnp.zeros((), jnp.int32)
+  else:
+    yp = _sharded_axis_plan(h_local, h_total, gh, lane_dim=False)
+    assert yp is not None, 'sharded y plan infeasible'
+    y_off = jnp.asarray(y_offset, jnp.int32)
+    a0 = _traced_starts(yp, y_off, gh / h_total)
+  if x_offset is None:
+    xp = _choose_tile(w_total, gw, lane_dim=True)
+    assert xp is not None and w_local == w_total
+    b0 = jnp.asarray(xp.starts)
+    x_off = jnp.zeros((), jnp.int32)
+  else:
+    xp = _sharded_axis_plan(w_local, w_total, gw, lane_dim=True)
+    assert xp is not None, 'sharded x plan infeasible'
+    x_off = jnp.asarray(x_offset, jnp.int32)
+    b0 = _traced_starts(xp, x_off, gw / w_total)
+  lg = _extract_cell_windows_traced(grid5, yp, xp, a0, b0)
+  offs = jnp.stack([y_off, x_off])
+  h_pad, w_pad = yp.tile * yp.n_tiles, xp.tile * xp.n_tiles
+  return yp, xp, lg, a0, b0, offs, h_pad, w_pad
+
+
 def _cfg_from(grid5, yp, xp, h, w, n_out, n_in, has_offset):
   _, gh, gw, gd, _ = grid5.shape
   return _Cfg(th=yp.tile, tw=xp.tile, ncy=yp.n_cells, ncx=xp.n_cells,
@@ -492,6 +568,7 @@ def slice_apply_fwd(grid5, guide, image_cf, n_out, n_in, has_offset,
   image_cf (B,n_in,H,W) channel-first. Returns (B,n_out,H,W)."""
   b, h, w = guide.shape
   yp, xp, lg, a0, b0, h_pad, w_pad = _common_setup(grid5, guide, h, w)
+  offs = jnp.zeros((2,), jnp.int32)
   cfg = _cfg_from(grid5, yp, xp, h, w, n_out, n_in, has_offset)
   lg_spec, guide_spec, chan_spec = _make_specs(cfg, yp.n_tiles, xp.n_tiles)
 
@@ -505,19 +582,20 @@ def slice_apply_fwd(grid5, guide, image_cf, n_out, n_in, has_offset,
   out = pl.pallas_call(
       functools.partial(_fwd_kernel, cfg),
       grid_spec=pltpu.PrefetchScalarGridSpec(
-          num_scalar_prefetch=2,
+          num_scalar_prefetch=3,
           grid=(b, yp.n_tiles, xp.n_tiles),
           in_specs=in_specs,
           out_specs=chan_spec(n_out),
       ),
       out_shape=jax.ShapeDtypeStruct((b, n_out, h_pad, w_pad), jnp.float32),
       interpret=interpret,
-  )(a0, b0, *operands)
+  )(a0, b0, offs, *operands)
   return out[:, :, :h, :w]
 
 
 def enhance_fused(grid5, image_cf, guide_params, guide_mode, n_out, n_in,
-                  has_offset=True, interpret=False):
+                  has_offset=True, interpret=False, y_offset=None,
+                  x_offset=None, h_total=None, w_total=None):
   """Fused guide + slice + apply forward (inference fast path).
 
   grid5 (B,gh,gw,gd,C) packed; image_cf (B,n_in,H,W) channel-first;
@@ -529,15 +607,25 @@ def enhance_fused(grid5, image_cf, guide_params, guide_mode, n_out, n_in,
   """
   b, _, h, w = image_cf.shape
   _, gh, gw, gd, _ = grid5.shape
-  plans = plan_tiles(h, w, gh, gw)
-  assert plans is not None, 'caller must check feasible()'
-  yp, xp = plans
-  lg = _extract_cell_windows(grid5, yp, xp)
-  a0 = jnp.asarray(yp.starts)
-  b0 = jnp.asarray(xp.starts)
-  h_pad, w_pad = yp.tile * yp.n_tiles, xp.tile * xp.n_tiles
+  h_total = h_total or h
+  w_total = w_total or w
+  if y_offset is not None or x_offset is not None:
+    # Spatially-sharded path: this call sees a (local) band of a
+    # h_total x w_total image starting at the traced (y, x) offset.
+    yp, xp, lg, a0, b0, offs, h_pad, w_pad = _sharded_setup(
+        grid5, h, w, h_total, w_total, y_offset, x_offset)
+  else:
+    plans = plan_tiles(h, w, gh, gw)
+    assert plans is not None, 'caller must check feasible()'
+    yp, xp = plans
+    lg = _extract_cell_windows(grid5, yp, xp)
+    a0 = jnp.asarray(yp.starts)
+    b0 = jnp.asarray(xp.starts)
+    offs = jnp.zeros((2,), jnp.int32)
+    h_pad, w_pad = yp.tile * yp.n_tiles, xp.tile * xp.n_tiles
 
-  cfg = _cfg_from(grid5, yp, xp, h, w, n_out, n_in, has_offset)
+  cfg = _cfg_from(grid5, yp, xp, h_total, w_total, n_out, n_in,
+                  has_offset)
   if guide_mode == 'curves':
     n_pts = guide_params[1].shape[1]
     cfg = dataclasses.replace(cfg, guide_mode='curves', n_pts=n_pts)
@@ -563,7 +651,7 @@ def enhance_fused(grid5, image_cf, guide_params, guide_mode, n_out, n_in,
   out = pl.pallas_call(
       functools.partial(_fused_fwd_kernel, cfg),
       grid_spec=pltpu.PrefetchScalarGridSpec(
-          num_scalar_prefetch=2,
+          num_scalar_prefetch=3,
           grid=(b, yp.n_tiles, xp.n_tiles),
           in_specs=in_specs,
           out_specs=chan_spec(n_out),
@@ -571,7 +659,7 @@ def enhance_fused(grid5, image_cf, guide_params, guide_mode, n_out, n_in,
       out_shape=jax.ShapeDtypeStruct((b, n_out, h_pad, w_pad),
                                      jnp.float32),
       interpret=interpret,
-  )(a0, b0, *operands)
+  )(a0, b0, offs, *operands)
   return out[:, :, :h, :w]
 
 
@@ -581,6 +669,7 @@ def slice_apply_pix_bwd(grid5, guide, image_cf, ct_cf, n_out, n_in,
   Returns (d_guide (B,H,W), d_image_cf (B,n_in,H,W) or None)."""
   b, h, w = guide.shape
   yp, xp, lg, a0, b0, h_pad, w_pad = _common_setup(grid5, guide, h, w)
+  offs = jnp.zeros((2,), jnp.int32)
   cfg = _cfg_from(grid5, yp, xp, h, w, n_out, n_in, has_offset)
   lg_spec, guide_spec, chan_spec = _make_specs(cfg, yp.n_tiles, xp.n_tiles)
 
@@ -603,14 +692,14 @@ def slice_apply_pix_bwd(grid5, guide, image_cf, ct_cf, n_out, n_in,
   outs = pl.pallas_call(
       functools.partial(_pix_bwd_kernel, cfg),
       grid_spec=pltpu.PrefetchScalarGridSpec(
-          num_scalar_prefetch=2,
+          num_scalar_prefetch=3,
           grid=(b, yp.n_tiles, xp.n_tiles),
           in_specs=in_specs,
           out_specs=out_specs,
       ),
       out_shape=out_shapes,
       interpret=interpret,
-  )(a0, b0, *operands)
+  )(a0, b0, offs, *operands)
   d_guide = outs[0][:, :h, :w]
   d_image = outs[1][:, :, :h, :w] if n_in else None
   return d_guide, d_image
