@@ -32,6 +32,27 @@ DATA_AXIS = 'data'
 SPATIAL_AXIS = 'spatial'
 
 
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+  """Multi-host bring-up: call once per host before make_mesh().
+
+  Thin wrapper over jax.distributed.initialize (auto-detects on Cloud
+  TPU when no args are given). After this, jax.devices() spans the full
+  slice/pod and make_mesh() lays 'data' across hosts (DCN-friendly:
+  gradient all-reduce) while 'spatial' stays within a host's chips
+  (ICI). No-op if already initialized.
+  """
+  import jax
+  try:
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+  except RuntimeError as e:  # already initialized
+    if 'already' not in str(e).lower():
+      raise
+  return jax.devices()
+
+
 def make_mesh(mesh_shape=None, devices=None):
   """Creates the ('data', 'spatial') mesh.
 
