@@ -15,8 +15,6 @@ enhanced full-res image. Intermediates are exposed via flax ``sow``
 
 from __future__ import annotations
 
-from typing import Any
-
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np

@@ -36,7 +36,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -51,10 +50,6 @@ from hdrnet_tpu.ops import reference as ref
 # it (image barely larger than the grid — never the HDRNet regime) fall
 # back to the XLA reference implementation.
 _MAX_CELLS = 8
-
-_LANE = 128
-_SUBLANE = 8
-
 
 def _round_up(x, m):
   return -(-x // m) * m
@@ -535,13 +530,6 @@ def _cfg_from(grid5, yp, xp, h, w, n_out, n_in, has_offset):
   return _Cfg(th=yp.tile, tw=xp.tile, ncy=yp.n_cells, ncx=xp.n_cells,
               gh=gh, gw=gw, gd=gd, n_out=n_out, n_in=n_in,
               has_offset=has_offset, sy=gh / h, sx=gw / w)
-
-
-def _tile_spec(ch=None):
-  """BlockSpec for a (B, [C,] H, W) tensor tiled over (b, ty, tx)."""
-  if ch is None:
-    return pl.BlockSpec((1, None, None), lambda b, ty, tx: (b, ty, tx))
-  return pl.BlockSpec((1, ch, None, None), lambda b, ty, tx: (b, 0, ty, tx))
 
 
 def _make_specs(cfg, nty, ntx):
