@@ -410,6 +410,90 @@ def _pix_bwd_kernel(cfg, a0_ref, b0_ref, off_ref, lg_ref, guide_ref, *rest):
       dimg_ref[0, j] = acc
 
 
+def _grid_bwd_kernel(cfg, a0_ref, b0_ref, off_ref, guide_ref, *rest):
+  """Grid cotangent (ops/bilateral_slice_apply.cc:84-138), splat form.
+
+  Operates on mirror-padded inputs (zero-padded to tiles; zero-F rows
+  contribute nothing). Per tile, for each window cell: a separable
+  weighted reduction sum_pixels wy*wx*wz*F accumulated into the
+  VMEM-resident (gh*gw, gd*C) output block (revisited across all tiles
+  of one batch element). Spatial weights are the reference's *direct*
+  tent evaluation; depth weights carry the z-extreme override-to-1
+  (cc:121-125). Gather-free, scatter-free (within a tile the reduction
+  is dense; across tiles it is the sequential grid), race-free like the
+  reference CUDA (SURVEY.md §5.2).
+  """
+  if cfg.n_in:
+    img_ref, ct_ref, out_ref = rest
+  else:
+    ct_ref, out_ref = rest
+  ty = pl.program_id(1)
+  tx = pl.program_id(2)
+
+  @pl.when(jnp.logical_and(ty == 0, tx == 0))
+  def _():
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+  a0 = a0_ref[ty]
+  b0 = b0_ref[tx]
+  # Direct tent weights per window cell; zero for cells outside the
+  # grid so the clamped accumulation index adds nothing.
+  ypix = jax.lax.broadcasted_iota(jnp.int32, (cfg.th, 1), 0)
+  gyf = (_f32(ypix) + (_f32(ty * cfg.th + off_ref[0]) + 0.5)) * cfg.sy
+  xpix = jax.lax.broadcasted_iota(jnp.int32, (1, cfg.tw), 1)
+  gxf = (_f32(xpix) + (_f32(tx * cfg.tw + off_ref[1]) + 0.5)) * cfg.sx
+
+  def cell_weight(cell, gf, extent):
+    w = jnp.maximum(1.0 - jnp.abs(_f32(cell) + 0.5 - gf), 0.0)
+    valid = jnp.logical_and(cell >= 0, cell < extent)
+    return jnp.where(valid, w, 0.0)
+
+  wy = [cell_weight(a0 + da, gyf, cfg.gh) for da in range(cfg.ncy)]
+  wx = [cell_weight(b0 + db, gxf, cfg.gw) for db in range(cfg.ncx)]
+
+  # Depth weights: direct smoothed tent + override-to-1 at the extremes.
+  gzf = guide_ref[0] * cfg.gd
+  wz = []
+  for k in range(cfg.gd):
+    dx = (k + 0.5) - gzf
+    w = jnp.maximum(1.0 - jnp.sqrt(dx * dx + EPS), 0.0)
+    if k == 0:
+      w = jnp.where(gzf < 0.5, 1.0, w)
+    if k == cfg.gd - 1:
+      w = jnp.where(gzf > cfg.gd - 0.5, 1.0, w)
+    wz.append(w)
+
+  # F planes: ct[i] * in_ext[j] (offset column = ct[i] alone, cc:127-129)
+  ni1 = cfg.ni_tot
+  f_planes = []
+  for i in range(cfg.n_out):
+    ct_i = ct_ref[0, i]
+    for j in range(ni1):
+      if j < cfg.n_in:
+        f_planes.append(ct_i * img_ref[0, j])
+      else:
+        f_planes.append(ct_i)
+
+  # rows[da][k*C + c] = sum_y wy_da[y] * (wz_k * F_c)[y, :] — the
+  # wz*F product is hoisted across the da loop (one live plane).
+  c_n = cfg.channels
+  rows = [[None] * (cfg.gd * c_n) for _ in range(cfg.ncy)]
+  for k in range(cfg.gd):
+    for c in range(c_n):
+      p = wz[k] * f_planes[c]
+      for da in range(cfg.ncy):
+        rows[da][k * c_n + c] = jnp.sum(wy[da] * p, axis=0,
+                                        keepdims=True)
+  for da in range(cfg.ncy):
+    rows_da = jnp.concatenate(rows[da], axis=0)  # (gd*C, TW)
+    for db in range(cfg.ncx):
+      v = jnp.sum(rows_da * wx[db], axis=1)  # (gd*C,)
+      ay = jnp.clip(a0 + da, 0, cfg.gh - 1)
+      bx = jnp.clip(b0 + db, 0, cfg.gw - 1)
+      idx = ay * cfg.gw + bx
+      out_ref[0, pl.ds(idx, 1), :] += v[None, :]
+
+
 # ---------------------------------------------------------------------------
 # Host-side wrappers
 # ---------------------------------------------------------------------------
@@ -651,6 +735,102 @@ def enhance_fused(grid5, image_cf, guide_params, guide_mode, n_out, n_in,
   return out[:, :, :h, :w]
 
 
+def _plan_axis_offset(extent_padded, scale, tile, offset):
+  """Exact per-tile cell windows for pixels y = t*tile + i + offset
+  (offset < 0 = mirror padding). Rows beyond extent_padded (tile
+  zero-padding) carry F = 0 and need no window coverage, so the window
+  only spans real padded rows."""
+  n_tiles = _round_up(extent_padded, tile) // tile
+  t = np.arange(n_tiles)
+  first = t * tile + offset
+  last = np.minimum(first + tile, extent_padded + offset) - 1
+  lo = np.floor((first + 0.5) * scale - 0.5).astype(np.int64)
+  hi = np.floor((last + 0.5) * scale - 0.5).astype(np.int64) + 1
+  n_cells = int((hi - lo).max()) + 1
+  return _AxisPlan(tile, n_tiles, n_cells, lo.astype(np.int32))
+
+
+def grid_bwd_feasible(h, w, gh, gw):
+  plans = plan_tiles(h, w, gh, gw)
+  if plans is None:
+    return False
+  yp, xp = plans
+  pad_y = -(-h // gh) // 2 + 1
+  pad_x = -(-w // gw) // 2 + 1
+  ypo = _plan_axis_offset(h + 2 * pad_y, gh / h, yp.tile, -pad_y)
+  xpo = _plan_axis_offset(w + 2 * pad_x, gw / w, xp.tile, -pad_x)
+  return ypo.n_cells <= _MAX_CELLS and xpo.n_cells <= _MAX_CELLS
+
+
+def slice_apply_grid_bwd(grid_shape, guide, image_cf, ct_cf, n_out, n_in,
+                         has_offset, interpret=False):
+  """Grid cotangent via the Pallas splat kernel.
+
+  grid_shape: (gh, gw, gd). guide (B,H,W); image_cf (B,n_in,H,W);
+  ct_cf (B,n_out,H,W). Returns (B, gh, gw, gd, n_out*ni_tot) packed.
+
+  Mirror padding (the reference's image-side boundary,
+  bilateral_slice_apply.cc:108-115 / jax ref _symmetric_pad_ij) happens
+  here in XLA; the kernel sees plain padded arrays plus a negative
+  pixel offset.
+  """
+  gh, gw, gd = grid_shape
+  b, h, w = guide.shape
+  pad_y = int(np.ceil(0.5 * h / gh))
+  pad_x = int(np.ceil(0.5 * w / gw))
+
+  def sympad(x):
+    pads = [(0, 0)] * (x.ndim - 2) + [(pad_y, pad_y), (pad_x, pad_x)]
+    return jnp.pad(x, pads, mode='symmetric')
+
+  guide_p = sympad(guide)
+  ct_p = sympad(ct_cf)
+  image_p = sympad(image_cf) if n_in else None
+  hp, wp = h + 2 * pad_y, w + 2 * pad_x
+
+  base = plan_tiles(h, w, gh, gw)
+  assert base is not None, 'caller must check feasibility'
+  yp = _plan_axis_offset(hp, gh / h, base[0].tile, -pad_y)
+  xp = _plan_axis_offset(wp, gw / w, base[1].tile, -pad_x)
+  assert yp.n_cells <= _MAX_CELLS and xp.n_cells <= _MAX_CELLS
+
+  a0 = jnp.asarray(yp.starts)
+  b0 = jnp.asarray(xp.starts)
+  offs = jnp.asarray([-pad_y, -pad_x], jnp.int32)
+  h_pad, w_pad = yp.tile * yp.n_tiles, xp.tile * xp.n_tiles
+
+  cfg = _Cfg(th=yp.tile, tw=xp.tile, ncy=yp.n_cells, ncx=xp.n_cells,
+             gh=gh, gw=gw, gd=gd, n_out=n_out, n_in=n_in,
+             has_offset=has_offset, sy=gh / h, sx=gw / w)
+  _, guide_spec, chan_spec = _make_specs(cfg, yp.n_tiles, xp.n_tiles)
+
+  operands = [_pad_hw(guide_p, h_pad, w_pad)]
+  in_specs = [guide_spec]
+  if n_in:
+    operands.append(_pad_hw(image_p, h_pad, w_pad))
+    in_specs.append(chan_spec(n_in))
+  operands.append(_pad_hw(ct_p, h_pad, w_pad))
+  in_specs.append(chan_spec(n_out))
+
+  c_n = cfg.channels
+  out_spec = pl.BlockSpec((1, gh * gw, gd * c_n),
+                          lambda b_, ty, tx, *_: (b_, 0, 0),
+                          memory_space=pltpu.VMEM)
+  out = pl.pallas_call(
+      functools.partial(_grid_bwd_kernel, cfg),
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=3,
+          grid=(b, yp.n_tiles, xp.n_tiles),
+          in_specs=in_specs,
+          out_specs=out_spec,
+      ),
+      out_shape=jax.ShapeDtypeStruct((b, gh * gw, gd * c_n), jnp.float32),
+      interpret=interpret,
+  )(a0, b0, offs, *operands)
+  # (b, gh*gw, gd*C) -> (b, gh, gw, gd, C)
+  return out.reshape(b, gh, gw, gd, c_n)
+
+
 def slice_apply_pix_bwd(grid5, guide, image_cf, ct_cf, n_out, n_in,
                         has_offset, interpret=False):
   """Fused guide + input cotangents. ct_cf (B,n_out,H,W) channel-first.
@@ -741,11 +921,21 @@ class _PallasImpl:
       d_image = _to_cl(d_img_cf)
     else:
       d_image = jnp.zeros_like(image)
-    # Grid cotangent: separable einsum splat — XLA-native, no kernel
-    # needed (scatter/gather free). Oracle formulation, vmapped.
-    d_grid = jax.vmap(functools.partial(
-        ref.bilateral_slice_apply_grid_vjp,
-        grid_shape=grid.shape[1:], has_offset=has_offset))(guide, image, ct)
+    b, gh, gw, gd, no, ni1 = grid.shape
+    h, w = guide.shape[1:]
+    if grid_bwd_feasible(h, w, gh, gw):
+      d_grid = slice_apply_grid_bwd(
+          (gh, gw, gd), guide.astype(jnp.float32),
+          _to_cf(image).astype(jnp.float32),
+          _to_cf(ct).astype(jnp.float32), n_out, n_in, has_offset,
+          interpret=self.interpret)
+      d_grid = d_grid.reshape(b, gh, gw, gd, no, ni1)
+    else:
+      # XLA einsum splat fallback (same math, oracle formulation).
+      d_grid = jax.vmap(functools.partial(
+          ref.bilateral_slice_apply_grid_vjp,
+          grid_shape=grid.shape[1:], has_offset=has_offset))(guide, image,
+                                                             ct)
     return d_grid, d_guide, d_image
 
 

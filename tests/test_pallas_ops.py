@@ -89,6 +89,34 @@ def test_vjps_match_oracle():
   np.testing.assert_allclose(np.asarray(di_p), np.asarray(di_r), atol=1e-4)
 
 
+def test_grid_bwd_kernel_matches_oracle():
+  """The Pallas grid-cotangent splat kernel vs the einsum oracle,
+  including the z-extreme override and mirror-boundary regions."""
+  import functools
+  from hdrnet_tpu.ops import reference as ref
+
+  rng = np.random.RandomState(0)
+  b, gh, gw, gd, no, ni = 2, 4, 4, 8, 3, 3
+  h, w = 40, 130
+  guide = rng.rand(b, h, w).astype(np.float32)
+  guide[0, :5] = 0.0   # z-override low (cc:121-125)
+  guide[0, 5:9] = 1.0  # z-override high
+  image = rng.rand(b, h, w, ni).astype(np.float32)
+  ct = rng.rand(b, h, w, no).astype(np.float32)
+  want = jax.vmap(functools.partial(
+      ref.bilateral_slice_apply_grid_vjp,
+      grid_shape=(gh, gw, gd, no, ni + 1), has_offset=True))(
+      jnp.asarray(guide), jnp.asarray(image), jnp.asarray(ct))
+  got = pk.slice_apply_grid_bwd(
+      (gh, gw, gd), jnp.asarray(guide),
+      jnp.transpose(jnp.asarray(image), (0, 3, 1, 2)),
+      jnp.transpose(jnp.asarray(ct), (0, 3, 1, 2)), no, ni, True,
+      interpret=True).reshape(b, gh, gw, gd, no, ni + 1)
+  scale = float(jnp.abs(want).max())
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             atol=2e-4 * max(scale, 1.0))
+
+
 def test_infeasible_falls_back():
   """Image smaller than ~1 px/cell: wrapper silently uses the oracle."""
   grid, guide, image = _args(6, 1, 16, 16, 4, 3, 3, 18, 20)
