@@ -28,7 +28,7 @@ import numpy as np
 
 log = logging.getLogger('hdrnet_tpu.export')
 logging.basicConfig(
-    format='[%(process)d] %(levelname)s %(filename)s:%(lineno)s | '
+    format='%(asctime)s [%(process)d] %(levelname)s %(filename)s:%(lineno)s | '
            '%(message)s', level=logging.INFO)
 
 
@@ -101,7 +101,7 @@ def main(argv=None):
   from hdrnet_tpu.config import Config
   from hdrnet_tpu.models import make_model
   from hdrnet_tpu.training.checkpoint import Checkpointer
-  from hdrnet_tpu.training.step import create_state
+  from hdrnet_tpu.training.step import abstract_state
 
   config = Config.load(args.checkpoint_dir)
   model = make_model(config.model)
@@ -110,7 +110,7 @@ def main(argv=None):
 
   dummy_low = jnp.zeros((1, s, s, n_in), jnp.float32)
   dummy_full = jnp.zeros((1, 64, 64, n_in), jnp.float32)
-  template = create_state(model, optax.adam(1e-4), jax.random.PRNGKey(0),
+  template = abstract_state(model, optax.adam(1e-4), jax.random.PRNGKey(0),
                           dummy_low, dummy_full)
   state = Checkpointer(args.checkpoint_dir).restore(template)
   assert state is not None, f'no checkpoint in {args.checkpoint_dir}'

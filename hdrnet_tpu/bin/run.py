@@ -20,7 +20,7 @@ import numpy as np
 
 log = logging.getLogger('hdrnet_tpu.run')
 logging.basicConfig(
-    format='[%(process)d] %(levelname)s %(filename)s:%(lineno)s | '
+    format='%(asctime)s [%(process)d] %(levelname)s %(filename)s:%(lineno)s | '
            '%(message)s', level=logging.INFO)
 
 _IMG_RE = re.compile(r'.*\.(png|jpeg|jpg|tif|tiff)$', re.IGNORECASE)
@@ -65,7 +65,7 @@ def main(argv=None):
   from hdrnet_tpu.data import images
   from hdrnet_tpu.models import make_model
   from hdrnet_tpu.training.checkpoint import Checkpointer
-  from hdrnet_tpu.training.step import create_state
+  from hdrnet_tpu.training.step import abstract_state
   import optax
 
   config = Config.load(args.checkpoint_dir)
@@ -84,7 +84,7 @@ def main(argv=None):
   dummy_low = jnp.zeros((1, net_size, net_size, config.model.n_in),
                         jnp.float32)
   dummy_full = jnp.zeros((1, 64, 64, config.model.n_in), jnp.float32)
-  template = create_state(model, tx, jax.random.PRNGKey(0), dummy_low,
+  template = abstract_state(model, tx, jax.random.PRNGKey(0), dummy_low,
                           dummy_full)
   state = Checkpointer(args.checkpoint_dir).restore(template)
   if state is None:

@@ -14,7 +14,7 @@ import logging
 from hdrnet_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
 
 logging.basicConfig(
-    format='[%(process)d] %(levelname)s %(filename)s:%(lineno)s | '
+    format='%(asctime)s [%(process)d] %(levelname)s %(filename)s:%(lineno)s | '
            '%(message)s', level=logging.INFO)
 
 

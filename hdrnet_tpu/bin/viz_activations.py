@@ -52,7 +52,7 @@ def main(argv=None):
   from hdrnet_tpu.data import images
   from hdrnet_tpu.models import make_model
   from hdrnet_tpu.training.checkpoint import Checkpointer
-  from hdrnet_tpu.training.step import create_state
+  from hdrnet_tpu.training.step import abstract_state
 
   config = Config.load(args.checkpoint_dir)
   model = make_model(config.model)
@@ -62,7 +62,7 @@ def main(argv=None):
   lowres = jnp.asarray(native.resize_nearest(im, (s, s)))[None]
   fullres = jnp.asarray(im)[None]
 
-  template = create_state(model, optax.adam(1e-4), jax.random.PRNGKey(0),
+  template = abstract_state(model, optax.adam(1e-4), jax.random.PRNGKey(0),
                           lowres, fullres)
   state = Checkpointer(args.checkpoint_dir).restore(template)
   assert state is not None, f'no checkpoint in {args.checkpoint_dir}'

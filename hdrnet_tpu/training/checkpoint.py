@@ -15,6 +15,7 @@ import os
 import time
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 # Orbax logs every save/restore internals at INFO; keep the training
@@ -38,7 +39,7 @@ class Checkpointer:
     return self.manager.latest_step()
 
   def save(self, step, state, force=False):
-    self.manager.save(int(step), args=ocp.args.StandardSave(state),
+    self.manager.save(int(step), args=ocp.args.PyTreeSave(state),
                       force=force)
     self._last_save = time.time()
 
@@ -54,11 +55,18 @@ class Checkpointer:
   def restore(self, template):
     """Restores the latest checkpoint into the structure of `template`
     (a concrete TrainState used as the abstract target). Returns None
-    if no checkpoint exists."""
+    if no checkpoint exists.
+
+    Restores to HOST numpy arrays, not to device: callers re-shard with
+    one tree-level `jax.device_put` (training/loop.py does). Restoring
+    straight to device lets orbax issue one async transfer per array,
+    which over a remote-tunnel PJRT backend serializes into minutes of
+    round trips (~113 s measured for this ~600k-param state)."""
     step = self.latest_step()
     if step is None:
       return None
-    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
-                                      template)
-    return self.manager.restore(step,
-                                args=ocp.args.StandardRestore(abstract))
+    restore_args = jax.tree_util.tree_map(
+        lambda x: ocp.RestoreArgs(restore_type=np.ndarray), template)
+    return self.manager.restore(
+        step, args=ocp.args.PyTreeRestore(item=template,
+                                          restore_args=restore_args))

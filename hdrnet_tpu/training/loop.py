@@ -30,7 +30,8 @@ from hdrnet_tpu.data import device_prefetch, make_pipeline
 from hdrnet_tpu.models import make_model
 from hdrnet_tpu.parallel import mesh as pm
 from hdrnet_tpu.training.checkpoint import Checkpointer
-from hdrnet_tpu.training.step import (create_state, make_eval_step,
+from hdrnet_tpu.training.step import (abstract_state, create_state,
+                                      make_eval_step,
                                       make_train_step)
 
 log = logging.getLogger('hdrnet_tpu.train')
@@ -50,10 +51,23 @@ class SummaryWriter:
       f.write(json.dumps(rec) + '\n')
 
 
+def _enable_compile_cache(checkpoint_dir):
+  """Persistent XLA compilation cache: the fused kernels take minutes to
+  compile per shape; cache hits make restarts/resumes instant."""
+  try:
+    cache_dir = os.path.join(os.path.abspath(checkpoint_dir), 'jax_cache')
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)
+  except Exception:  # pragma: no cover - older jax or unsupported backend
+    log.warning('persistent compilation cache unavailable')
+
+
 def train(config: Config, checkpoint_dir, data_dir, eval_data_dir=None,
           max_steps=None):
   tc = config.train
   config.save(checkpoint_dir)
+  _enable_compile_cache(checkpoint_dir)
 
   devices = jax.devices()
   if tc.mesh_shape:
@@ -83,13 +97,15 @@ def train(config: Config, checkpoint_dir, data_dir, eval_data_dir=None,
       pipeline.prefetching_batches(seed=tc.seed), batch_shard)
   first = next(batches)
 
-  state = create_state(model, tx, jax.random.PRNGKey(tc.seed),
-                       first['lowres_input'], first['image_input'])
   ckpt = Checkpointer(checkpoint_dir)
-  restored = ckpt.restore(state)
-  if restored is not None:
-    state = restored
+  if ckpt.latest_step() is not None:
+    template = abstract_state(model, tx, jax.random.PRNGKey(tc.seed),
+                              first['lowres_input'], first['image_input'])
+    state = ckpt.restore(template)
     log.info('restored checkpoint at step %d', int(state.step))
+  else:
+    state = create_state(model, tx, jax.random.PRNGKey(tc.seed),
+                         first['lowres_input'], first['image_input'])
   state = jax.device_put(state, rep)
 
   train_step = jax.jit(make_train_step(model, tx),

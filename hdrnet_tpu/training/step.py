@@ -46,6 +46,16 @@ def create_state(model, tx, rng, lowres, fullres):
   )
 
 
+def abstract_state(model, tx, rng, lowres, fullres):
+  """ShapeDtypeStruct tree of `create_state`'s result, computed without
+  compiling or running anything (jax.eval_shape). Used as the restore
+  template when a checkpoint exists — skips the model.init compile,
+  which costs ~a minute through a remote-tunnel backend."""
+  return jax.eval_shape(
+      lambda r, lo, fu: create_state(model, tx, r, lo, fu),
+      rng, lowres, fullres)
+
+
 def make_train_step(model, tx, ema_decay=0.99):
   """Returns step(state, batch) -> (state, metrics_dict).
 
