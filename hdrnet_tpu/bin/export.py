@@ -21,6 +21,7 @@ Produces in <checkpoint_dir>:
 from __future__ import annotations
 
 import argparse
+import json
 import logging
 import os
 
@@ -129,12 +130,30 @@ def main(argv=None):
     # (gh, gw, gd, c) -> (c, gd, gh, gw).
     return jnp.transpose(packed, (3, 2, 0, 1))
 
-  exported = jexport.export(jax.jit(coefficients_fn))(
-      jax.ShapeDtypeStruct((1, s, s, n_in), jnp.float32))
-  path = os.path.join(out_dir, 'coefficients_fn.stablehlo')
-  with open(path, 'wb') as f:
-    f.write(exported.serialize())
-  log.info('wrote %s (out %s)', path, exported.out_avals)
+  def write_artifacts(exported, name, in_avals):
+    """jax.export envelope (.stablehlo, for Python reload) + raw StableHLO
+    MLIR bytecode (.mlir, for the native PJRT driver) + shape manifest."""
+    path = os.path.join(out_dir, f'{name}.stablehlo')
+    with open(path, 'wb') as f:
+      f.write(exported.serialize())
+    with open(os.path.join(out_dir, f'{name}.mlir'), 'wb') as f:
+      f.write(exported.mlir_module_serialized)
+    manifest = {
+        'name': name,
+        'inputs': [{'shape': list(a.shape), 'dtype': str(a.dtype)}
+                   for a in in_avals],
+        'outputs': [{'shape': list(a.shape), 'dtype': str(a.dtype)}
+                    for a in exported.out_avals],
+    }
+    mpath = os.path.join(out_dir, f'{name}.manifest.json')
+    with open(mpath, 'w') as f:
+      json.dump(manifest, f, indent=2)
+    log.info('wrote %s{.stablehlo,.mlir,.manifest.json} (out %s)',
+             os.path.join(out_dir, name), exported.out_avals)
+
+  in1 = [jax.ShapeDtypeStruct((1, s, s, n_in), jnp.float32)]
+  exported = jexport.export(jax.jit(coefficients_fn))(*in1)
+  write_artifacts(exported, 'coefficients_fn', in1)
 
   # --- full enhancement function --------------------------------------
   h, w = args.fullres
@@ -142,13 +161,29 @@ def main(argv=None):
   def enhance_fn(lowres, fullres):
     return jnp.clip(model.apply(variables, lowres, fullres), 0.0, 1.0)
 
-  exported2 = jexport.export(jax.jit(enhance_fn))(
-      jax.ShapeDtypeStruct((1, s, s, n_in), jnp.float32),
-      jax.ShapeDtypeStruct((1, h, w, n_in), jnp.float32))
-  path2 = os.path.join(out_dir, 'enhance_fn.stablehlo')
-  with open(path2, 'wb') as f:
-    f.write(exported2.serialize())
-  log.info('wrote %s (out %s)', path2, exported2.out_avals)
+  in2 = [jax.ShapeDtypeStruct((1, s, s, n_in), jnp.float32),
+         jax.ShapeDtypeStruct((1, h, w, n_in), jnp.float32)]
+  exported2 = jexport.export(jax.jit(enhance_fn))(*in2)
+  write_artifacts(exported2, 'enhance_fn', in2)
+
+  # --- fused serving function (guide computed inside the Pallas kernel,
+  # the deployment-speed path — inference.py Enhancer) -----------------
+  from hdrnet_tpu.inference import Enhancer
+  enh = Enhancer(config=config.model, variables=variables)
+  if enh.use_fused:
+    def serve_fn(lowres, fullres):
+      return jnp.clip(enh._forward(lowres, fullres), 0.0, 1.0)
+    exported3 = jexport.export(jax.jit(serve_fn))(*in2)
+    write_artifacts(exported3, 'serve_fn', in2)
+  else:
+    log.info('no fused serving kernel for this config; serve_fn skipped')
+
+  # Serialized default xla::CompileOptions for the native PJRT driver
+  # (PJRT_Client_Compile wants this proto; generating it here keeps the
+  # C++ side protobuf-free).
+  from jaxlib import xla_client as xc
+  with open(os.path.join(out_dir, 'compile_options.pb'), 'wb') as f:
+    f.write(xc.CompileOptions().SerializeAsString())
 
   # --- raw guide parameter dumps --------------------------------------
   dump_guide_params(state.params, state.batch_stats,

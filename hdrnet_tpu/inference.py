@@ -65,15 +65,15 @@ class Enhancer:
     if checkpoint_dir is not None:
       import optax
       from hdrnet_tpu.training.checkpoint import Checkpointer
-      from hdrnet_tpu.training.step import create_state
+      from hdrnet_tpu.training.step import abstract_state
       config = Config.load(checkpoint_dir).model
       self.model_cfg = config
       model = make_model(config)
       s = config.net_input_size
       dummy_low = jnp.zeros((1, s, s, config.n_in), jnp.float32)
       dummy_full = jnp.zeros((1, 64, 64, config.n_in), jnp.float32)
-      template = create_state(model, optax.adam(1e-4),
-                              jax.random.PRNGKey(0), dummy_low, dummy_full)
+      template = abstract_state(model, optax.adam(1e-4),
+                                jax.random.PRNGKey(0), dummy_low, dummy_full)
       state = Checkpointer(checkpoint_dir).restore(template)
       assert state is not None, f'no checkpoint in {checkpoint_dir}'
       variables = {'params': state.params}
