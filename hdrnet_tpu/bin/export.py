@@ -172,7 +172,7 @@ def main(argv=None):
   enh = Enhancer(config=config.model, variables=variables)
   if enh.use_fused:
     def serve_fn(lowres, fullres):
-      return jnp.clip(enh._forward(lowres, fullres), 0.0, 1.0)
+      return enh._forward(lowres, fullres, clip=True)
     exported3 = jexport.export(jax.jit(serve_fn))(*in2)
     write_artifacts(exported3, 'serve_fn', in2)
   else:

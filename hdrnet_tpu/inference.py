@@ -111,7 +111,7 @@ class Enhancer:
 
   # -- fused forward ----------------------------------------------------
 
-  def _fused_forward(self, lowres, fullres):
+  def _fused_forward(self, lowres, fullres, clip=False):
     model, cfg = self.model, self.model_cfg
     bb_vars = {'params': self.variables['params']['coefficients']}
     if 'batch_stats' in self.variables and \
@@ -146,28 +146,33 @@ class Enhancer:
         else:
           current = resize_bilinear(current, out.shape[1:3],
                                     align_corners=True) + out
-      return current
+      # Levels are summed before clamping, so the clip cannot ride the
+      # per-level kernels.
+      return jnp.clip(current, 0.0, 1.0) if clip else current
 
     mode, gparams = guide_args[0]
     packed = grid.reshape(b, gh, gw, gd, no * ni1)
     img_cf = jnp.transpose(fullres, (0, 3, 1, 2))
+    # Serving clamp done in the kernel epilogue (free; a separate XLA
+    # clip is a full-image read+write pass, ~0.25 ms at 4K).
     out_cf = pk.enhance_fused(packed, img_cf, gparams, mode, no,
-                              cfg.n_in, True, interpret=self.interpret)
+                              cfg.n_in, True, interpret=self.interpret,
+                              clip_output=clip)
     return jnp.transpose(out_cf, (0, 2, 3, 1))
 
-  def _forward(self, lowres, fullres):
+  def _forward(self, lowres, fullres, clip=False):
     if self.use_fused and pk.feasible(fullres.shape[1], fullres.shape[2],
                                       self.model_cfg.spatial_bin,
                                       self.model_cfg.spatial_bin):
-      return self._fused_forward(lowres, fullres)
-    return self.model.apply(self.variables, lowres, fullres)
+      return self._fused_forward(lowres, fullres, clip=clip)
+    out = self.model.apply(self.variables, lowres, fullres)
+    return jnp.clip(out, 0.0, 1.0) if clip else out
 
   def __call__(self, lowres, fullres, clip=True):
     key = (lowres.shape, fullres.shape, bool(clip))
     if key not in self._jitted:
       def fn(lowres, fullres):
-        out = self._forward(lowres, fullres)
-        return jnp.clip(out, 0.0, 1.0) if clip else out
+        return self._forward(lowres, fullres, clip=clip)
       self._jitted[key] = jax.jit(fn)
     return self._jitted[key](lowres, fullres)
 

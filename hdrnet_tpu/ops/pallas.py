@@ -154,6 +154,10 @@ class _Cfg:
   guide_mode: str = 'external'
   n_pts: int = 16          # curve knots (models.py:146)
   guide_complexity: int = 16  # NN guide hidden width (models.py:204)
+  # Clamp outputs to [0, 1] in the epilogue (serving). Free here; as a
+  # separate XLA op it costs a full-image read+write pass (~0.25 ms at
+  # 4K). The GL path clamps in-shader the same way (std.frag:52).
+  clip_output: bool = False
 
   @property
   def ni_tot(self):
@@ -347,6 +351,8 @@ def _apply_epilogue(cfg, sliced, img, out_ref):
            else jnp.zeros((cfg.th, cfg.tw), jnp.float32))
     for j in range(cfg.n_in):
       acc = acc + sliced[i * ni1 + j] * img[j]
+    if cfg.clip_output:
+      acc = jnp.clip(acc, 0.0, 1.0)
     out_ref[0, i] = acc
 
 
@@ -667,7 +673,8 @@ def slice_apply_fwd(grid5, guide, image_cf, n_out, n_in, has_offset,
 
 def enhance_fused(grid5, image_cf, guide_params, guide_mode, n_out, n_in,
                   has_offset=True, interpret=False, y_offset=None,
-                  x_offset=None, h_total=None, w_total=None):
+                  x_offset=None, h_total=None, w_total=None,
+                  clip_output=False):
   """Fused guide + slice + apply forward (inference fast path).
 
   grid5 (B,gh,gw,gd,C) packed; image_cf (B,n_in,H,W) channel-first;
@@ -698,6 +705,8 @@ def enhance_fused(grid5, image_cf, guide_params, guide_mode, n_out, n_in,
 
   cfg = _cfg_from(grid5, yp, xp, h_total, w_total, n_out, n_in,
                   has_offset)
+  if clip_output:
+    cfg = dataclasses.replace(cfg, clip_output=True)
   if guide_mode == 'curves':
     n_pts = guide_params[1].shape[1]
     cfg = dataclasses.replace(cfg, guide_mode='curves', n_pts=n_pts)
