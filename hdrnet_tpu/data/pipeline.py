@@ -62,6 +62,11 @@ class DataPipeline:
     for k, v in overrides.items():
       setattr(cfg, k, v)
     self.cfg = cfg
+    # Reference workloads address datasets by their filelist
+    # (scripts/ll/train_std.sh passes .../train/filelist.txt); accept
+    # both that and the dataset directory itself.
+    if os.path.basename(path) == 'filelist.txt':
+      path = os.path.dirname(path) or '.'
     self.path = path
     self.specs = self._sample_paths()
     if not self.specs:

@@ -186,3 +186,39 @@ def import_tf_checkpoint(tf_ckpt_path, output_dir, config):
   ckpt.save(0, state, force=True)
   ckpt.wait()
   return state
+
+
+def main(argv=None):
+  """CLI: upgrade <tf_ckpt_dir_or_prefix> <output_dir> [--model_name ...]
+
+  Flag defaults match the reference training defaults; pass the same
+  model flags the checkpoint was trained with (the reference embeds
+  them in its metagraph, which we do not parse here).
+  """
+  import argparse
+  import jax
+  from hdrnet_tpu.config import Config, ModelConfig
+
+  p = argparse.ArgumentParser(description=main.__doc__)
+  p.add_argument('tf_checkpoint')
+  p.add_argument('output_dir')
+  p.add_argument('--model_name', default='HDRNetCurves')
+  p.add_argument('--luma_bins', type=int, default=8)
+  p.add_argument('--spatial_bin', type=int, default=16)
+  p.add_argument('--channel_multiplier', type=int, default=1)
+  p.add_argument('--guide_complexity', type=int, default=16)
+  p.add_argument('--batch_norm', action='store_true')
+  args = p.parse_args(argv)
+  config = Config(model=ModelConfig(
+      model_name=args.model_name, luma_bins=args.luma_bins,
+      spatial_bin=args.spatial_bin,
+      channel_multiplier=args.channel_multiplier,
+      guide_complexity=args.guide_complexity,
+      batch_norm=args.batch_norm))
+  state = import_tf_checkpoint(args.tf_checkpoint, args.output_dir, config)
+  n = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+  print(f'imported {n} parameters -> {args.output_dir}')
+
+
+if __name__ == '__main__':
+  main()

@@ -1,0 +1,14 @@
+#!/bin/bash
+# Photoshop action "infrared", pointwise-NN guide (reference: scripts/ps/infrared_nn.sh).
+python -m hdrnet_tpu.bin.train \
+        output/checkpoints/ps_infrared_1024 \
+        data/photoshop_actions/infrared_1024/train/filelist.txt \
+        --eval_data_dir data/photoshop_actions/infrared_1024/test/filelist.txt \
+        --learning_rate 1e-4 \
+        --batch_size 4 \
+        --model_name HDRNetPointwiseNNGuide \
+        --nobatch_norm \
+        --output_resolution 512 512 \
+        --luma_bins 8 \
+        --spatial_bin 16 \
+        --channel_multiplier 1

@@ -1,0 +1,14 @@
+#!/bin/bash
+# Unsharp-mask synthetic-target workload, HDRNetGaussianPyrNN
+# (reference: scripts/usm/train_gpyrnn.sh). Usage: train_gpyrnn.sh <blur_sigma> <sharpen>.
+blur=${1:-4}
+sharpen=${2:-1}
+python -m hdrnet_tpu.bin.train \
+        output/checkpoints/usm_gpyrnn_radius${blur}_sharpen${sharpen} \
+        data/local_laplacian_hl_2048/train/filelist.txt \
+        --eval_data_dir data/local_laplacian_hl_2048/test/filelist.txt \
+        --data_pipeline UnsharpMaskDataPipeline \
+        --blur_sigma $blur --sharpen $sharpen \
+        --learning_rate 1e-4 --batch_size 1 \
+        --model_name HDRNetGaussianPyrNN --nobatch_norm \
+        --output_resolution 2048 2048
