@@ -161,3 +161,13 @@ def test_prefetching_batches(tmp_path):
 def test_registry():
   with pytest.raises(ValueError):
     make_pipeline('/nonexistent', DataConfig(pipeline='Nope'))
+
+
+def test_filelist_path_accepted(tmp_path):
+  """Reference workloads pass .../filelist.txt (scripts/ll/train_std.sh);
+  the pipeline accepts that as well as the dataset dir."""
+  _write_dataset(tmp_path)
+  pipe = ImageFilesDataPipeline(str(tmp_path / 'filelist.txt'), _cfg())
+  assert pipe.nsamples == 3
+  batch = next(pipe.batches())
+  assert batch['image_input'].shape == (2, 32, 32, 3)

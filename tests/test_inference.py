@@ -55,3 +55,16 @@ def test_unfused_fallback_on_cpu():
   out = enh(lowres, fullres, clip=False)
   want = model.apply(variables, lowres, fullres)
   np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-6)
+
+
+def test_in_kernel_clip_matches_external():
+  """clip=True runs inside the kernel epilogue (free on TPU); it must
+  equal clipping the unclipped fused output."""
+  import jax.numpy as jnp
+  cfg, model, variables, lowres, fullres = _setup('HDRNetCurves')
+  enh = Enhancer(config=cfg, variables=variables, interpret=True)
+  unclipped = enh(lowres, fullres, clip=False)
+  clipped = enh(lowres, fullres, clip=True)
+  np.testing.assert_allclose(np.asarray(clipped),
+                             np.clip(np.asarray(unclipped), 0.0, 1.0),
+                             atol=1e-7)
