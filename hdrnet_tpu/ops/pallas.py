@@ -24,9 +24,12 @@ which do not exist on the TPU VPU):
 Backward:
   * guide + input cotangents: one fused pixelwise kernel (same tiling),
     semantics of ops/bilateral_slice_apply.cc:140-259.
-  * grid cotangent: the separable splat is einsum-shaped (no gathers,
-    no scatters) and XLA-friendly; it reuses the oracle formulation
-    (hdrnet_tpu.ops.reference.bilateral_slice_apply_grid_vjp).
+  * grid cotangent: a Pallas splat kernel (`_grid_bwd_kernel`) — per
+    tile, separable weighted reductions accumulated into a
+    VMEM-resident grid block, with mirror padding and the z-extreme
+    overrides (ops/bilateral_slice_apply.cc:84-138); the XLA einsum
+    oracle formulation remains as the fallback for shapes the tile
+    planner rejects.
 
 Numerics are f32 end-to-end; conformance vs the oracle is gated at
 <= 1e-5 in tests/test_pallas_ops.py.
@@ -36,6 +39,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -236,17 +240,37 @@ def _x_rows(cfg, lg_ref, wx, da):
   return rows
 
 
-def _accumulate_sliced(cfg, lg_ref, wy, wx, wz_list, dwz_list=None):
+# Depth contraction strategy, measured at b16@512 fwd+all-grads on one
+# v5e: 'unroll' emits NCY*gd*C plane FMAs as straight-line code —
+# fastest (best ILP) but ~144 s Mosaic compile per new shape; 'loop'
+# runs a fori_loop over the gd depth bins slicing the VMEM grid block
+# per bin — compiles in ~5 s (31x) at ~2x device time. Default unroll:
+# training reuses one shape and the persistent compilation cache
+# absorbs the one-time cost; pick loop (HDRNET_TPU_Z_STRATEGY=loop)
+# for many-shape workloads like unbucketed variable-size inference.
+_Z_STRATEGY = os.environ.get('HDRNET_TPU_Z_STRATEGY', 'unroll')
+if _Z_STRATEGY not in ('unroll', 'loop'):
+  raise ValueError(
+      f'HDRNET_TPU_Z_STRATEGY={_Z_STRATEGY!r}: must be unroll or loop')
+
+
+def _accumulate_sliced(cfg, lg_ref, wy, wx, guide, *, derivative=False):
   """Separable one-hot trilinear contraction.
 
     sliced[c] = sum_da wy[da] * ( sum_k wz[k] * rows_da[k*C + c] )
 
   Identical real-arithmetic to the direct 8-corner form; factored so the
   expensive full-plane FMAs are O(NCY * C * gd) instead of
-  O(NCY * NCX * gd * C). If `dwz_list` is given, a second set of planes
+  O(NCY * NCX * gd * C). If `derivative`, a second set of planes
   (z-derivative slicing, for the guide VJP) is accumulated sharing the
   same rows.
   """
+  if _Z_STRATEGY == 'loop':
+    return _accumulate_sliced_loop(cfg, lg_ref, wy, wx, guide,
+                                   derivative=derivative)
+  wz_list = _depth_onehot_weights(guide, cfg.gd)
+  dwz_list = (_depth_onehot_weights(guide, cfg.gd, derivative=True)
+              if derivative else None)
   c_n = cfg.channels
   sliced = [jnp.zeros((cfg.th, cfg.tw), jnp.float32) for _ in range(c_n)]
   sliced_dz = ([jnp.zeros((cfg.th, cfg.tw), jnp.float32)
@@ -264,6 +288,56 @@ def _accumulate_sliced(cfg, lg_ref, wy, wx, wz_list, dwz_list=None):
           v = v + dwz_list[k] * rows[k * c_n + c:k * c_n + c + 1, :]
         sliced_dz[c] = sliced_dz[c] + wy[da] * v
   if dwz_list is not None:
+    return sliced, sliced_dz
+  return sliced
+
+
+def _accumulate_sliced_loop(cfg, lg_ref, wy, wx, guide, *,
+                            derivative=False):
+  """fori_loop-over-depth variant of `_accumulate_sliced` (same math)."""
+  c_n, gd = cfg.channels, cfg.gd
+  gzf = guide * gd
+  tap0f = jnp.floor(gzf - 0.5)
+  w0 = jnp.maximum(1.0 - jnp.sqrt((tap0f + 0.5 - gzf) ** 2 + EPS), 0.0)
+  w1 = jnp.maximum(1.0 - jnp.sqrt((tap0f + 1.5 - gzf) ** 2 + EPS), 0.0)
+  tap0 = tap0f.astype(jnp.int32)
+  c0 = jnp.clip(tap0, 0, gd - 1)
+  c1 = jnp.clip(tap0 + 1, 0, gd - 1)
+  if derivative:
+    def dweight(tap):
+      dx = tap + 0.5 - gzf
+      sab = jnp.sqrt(dx * dx + EPS)
+      return gd * jnp.where(sab > 1.0, 0.0, dx / sab)
+    d0, d1 = dweight(tap0f), dweight(tap0f + 1.0)
+
+  zero = jnp.zeros((cfg.th, cfg.tw), jnp.float32)
+  sliced = [zero] * c_n
+  sliced_dz = [zero] * c_n if derivative else None
+  for da in range(cfg.ncy):
+
+    def body(k, acc):
+      u, v = acc
+      # x-contraction restricted to depth bin k, sliced straight from
+      # the VMEM grid block (dynamic ref slicing lowers in Mosaic;
+      # dynamic_slice on a *value* does not).
+      rows_k = lg_ref[0, da, pl.ds(k * c_n, c_n), 0:1] * wx[0]
+      for db in range(1, cfg.ncx):
+        rows_k = rows_k + lg_ref[0, da, pl.ds(k * c_n, c_n),
+                                 db:db + 1] * wx[db]
+      wz_k = (jnp.where(c0 == k, w0, 0.0) + jnp.where(c1 == k, w1, 0.0))
+      u = tuple(u[c] + wz_k * rows_k[c:c + 1, :] for c in range(c_n))
+      if derivative:
+        dz_k = (jnp.where(c0 == k, d0, 0.0) +
+                jnp.where(c1 == k, d1, 0.0))
+        v = tuple(v[c] + dz_k * rows_k[c:c + 1, :] for c in range(c_n))
+      return (u, v)
+
+    init = (tuple([zero] * c_n), tuple([zero] * c_n))
+    u, v = jax.lax.fori_loop(0, gd, body, init)
+    sliced = [sliced[c] + wy[da] * u[c] for c in range(c_n)]
+    if derivative:
+      sliced_dz = [sliced_dz[c] + wy[da] * v[c] for c in range(c_n)]
+  if derivative:
     return sliced, sliced_dz
   return sliced
 
@@ -330,9 +404,7 @@ def _fwd_kernel(cfg, a0_ref, b0_ref, off_ref, lg_ref, guide_ref, *rest):
   ty = pl.program_id(1)
   tx = pl.program_id(2)
   wy, wx = _make_wy_wx(cfg, a0_ref[ty], b0_ref[tx], off_ref, ty, tx)
-  guide = guide_ref[0]
-  wz = _depth_onehot_weights(guide, cfg.gd)
-  sliced = _accumulate_sliced(cfg, lg_ref, wy, wx, wz)
+  sliced = _accumulate_sliced(cfg, lg_ref, wy, wx, guide_ref[0])
 
   if cfg.n_in:
     img = [img_ref[0, j] for j in range(cfg.n_in)]
@@ -375,8 +447,7 @@ def _fused_fwd_kernel(cfg, a0_ref, b0_ref, off_ref, lg_ref, img_ref, *rest):
   else:
     raise ValueError(cfg.guide_mode)
   wy, wx = _make_wy_wx(cfg, a0_ref[ty], b0_ref[tx], off_ref, ty, tx)
-  wz = _depth_onehot_weights(guide, cfg.gd)
-  sliced = _accumulate_sliced(cfg, lg_ref, wy, wx, wz)
+  sliced = _accumulate_sliced(cfg, lg_ref, wy, wx, guide)
   _apply_epilogue(cfg, sliced, img, out_ref)
 
 
@@ -389,12 +460,8 @@ def _pix_bwd_kernel(cfg, a0_ref, b0_ref, off_ref, lg_ref, guide_ref, *rest):
   ty = pl.program_id(1)
   tx = pl.program_id(2)
   wy, wx = _make_wy_wx(cfg, a0_ref[ty], b0_ref[tx], off_ref, ty, tx)
-  guide = guide_ref[0]
-  wz = _depth_onehot_weights(guide, cfg.gd)
-  dwz = _depth_onehot_weights(guide, cfg.gd, derivative=True)
-
-  sliced, sliced_dz = _accumulate_sliced(cfg, lg_ref, wy, wx, wz,
-                                         dwz_list=dwz)
+  sliced, sliced_dz = _accumulate_sliced(cfg, lg_ref, wy, wx,
+                                         guide_ref[0], derivative=True)
 
   ni1 = cfg.ni_tot
   dguide = jnp.zeros((cfg.th, cfg.tw), jnp.float32)
