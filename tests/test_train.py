@@ -74,3 +74,21 @@ def test_cli_arg_plumbing():
   assert cfg.model.batch_norm
   assert cfg.model.n_in == 6  # style transfer concatenates the target
   assert cfg.train.mesh_shape == [4, 2]
+
+
+def test_evaluate_cli(dataset, tmp_path, capsys):
+  """Standalone evaluate CLI: restores the checkpoint via the
+  eval_shape template and reports mean PSNR / L2 as JSON."""
+  import json
+
+  from hdrnet_tpu.bin.evaluate import main as evaluate_main
+  from hdrnet_tpu.training.loop import train
+
+  ckpt = str(tmp_path / 'ckpt')
+  train(_config(25), ckpt, str(dataset))
+  evaluate_main([ckpt, str(dataset), '--limit', '2'])
+  result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+  assert result['step'] == 25
+  assert result['n_images'] == 2
+  assert np.isfinite(result['mean_psnr_db'])
+  assert result['mean_l2'] >= 0.0
