@@ -160,10 +160,22 @@ class Enhancer:
                               clip_output=clip)
     return jnp.transpose(out_cf, (0, 2, 3, 1))
 
+  def _feasible_at(self, h, w):
+    """Kernel feasibility for this model at full resolution (h, w) —
+    for the pyramid model every level must fit the tile planner (the
+    coarse levels are the tight ones: few pixels per grid cell)."""
+    sb = self.model_cfg.spatial_bin
+    n_levels = (self.model.n_scales
+                if isinstance(self.model, HDRNetGaussianPyrNN) else 1)
+    for _ in range(n_levels):
+      if not pk.feasible(h, w, sb, sb):
+        return False
+      h, w = h // 2, w // 2
+    return True
+
   def _forward(self, lowres, fullres, clip=False):
-    if self.use_fused and pk.feasible(fullres.shape[1], fullres.shape[2],
-                                      self.model_cfg.spatial_bin,
-                                      self.model_cfg.spatial_bin):
+    if self.use_fused and self._feasible_at(fullres.shape[1],
+                                            fullres.shape[2]):
       return self._fused_forward(lowres, fullres, clip=clip)
     out = self.model.apply(self.variables, lowres, fullres)
     return jnp.clip(out, 0.0, 1.0) if clip else out

@@ -68,3 +68,18 @@ def test_in_kernel_clip_matches_external():
   np.testing.assert_allclose(np.asarray(clipped),
                              np.clip(np.asarray(unclipped), 0.0, 1.0),
                              atol=1e-7)
+
+
+def test_pyramid_feasibility_covers_all_levels():
+  """GaussianPyrNN at a full-res whose COARSE levels are infeasible for
+  the tile planner must fall back to the composite path rather than
+  crash inside enhance_fused (each level halves the pixels per grid
+  cell)."""
+  cfg, model, variables, lowres, _ = _setup('HDRNetGaussianPyrNN')
+  enh = Enhancer(config=cfg, variables=variables, interpret=True)
+  h = w = cfg.spatial_bin * 4  # level 3 has only one pixel per cell
+  assert not enh._feasible_at(h, w)
+  fullres = np.random.RandomState(0).rand(1, h, w, 3).astype(np.float32)
+  out = enh(lowres, fullres, clip=False)  # composite fallback, no crash
+  want = model.apply(variables, lowres, fullres)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
