@@ -16,6 +16,7 @@ fused kernel.
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,8 @@ from hdrnet_tpu.ops import pallas as pk
 from hdrnet_tpu.ops.resize import resize_bilinear
 
 _BN_EPS = 1e-5
+
+log = logging.getLogger('hdrnet_tpu.inference')
 
 
 def _curves_guide_params(gp, n_in):
@@ -177,6 +180,12 @@ class Enhancer:
     if self.use_fused and self._feasible_at(fullres.shape[1],
                                             fullres.shape[2]):
       return self._fused_forward(lowres, fullres, clip=clip)
+    if self.use_fused:
+      log.warning(
+          'Enhancer: %dx%d infeasible for the fused kernel (model %s); '
+          'serving via the composite path (~1.5x slower at 4K)',
+          fullres.shape[1], fullres.shape[2],
+          type(self.model).__name__)
     out = self.model.apply(self.variables, lowres, fullres)
     return jnp.clip(out, 0.0, 1.0) if clip else out
 

@@ -162,6 +162,8 @@ class _Cfg:
   # separate XLA op it costs a full-image read+write pass (~0.25 ms at
   # 4K). The GL path clamps in-shader the same way (std.frag:52).
   clip_output: bool = False
+  # Depth-contraction strategy ('unroll' | 'loop'); see default_z_strategy.
+  z_strategy: str = 'unroll'
 
   @property
   def ni_tot(self):
@@ -246,12 +248,27 @@ def _x_rows(cfg, lg_ref, wx, da):
 # runs a fori_loop over the gd depth bins slicing the VMEM grid block
 # per bin — compiles in ~5 s (31x) at ~2x device time. Default unroll:
 # training reuses one shape and the persistent compilation cache
-# absorbs the one-time cost; pick loop (HDRNET_TPU_Z_STRATEGY=loop)
-# for many-shape workloads like unbucketed variable-size inference.
-_Z_STRATEGY = os.environ.get('HDRNET_TPU_Z_STRATEGY', 'unroll')
-if _Z_STRATEGY not in ('unroll', 'loop'):
-  raise ValueError(
-      f'HDRNET_TPU_Z_STRATEGY={_Z_STRATEGY!r}: must be unroll or loop')
+# absorbs the one-time cost; pick loop (HDRNET_TPU_Z_STRATEGY=loop or
+# the per-call z_strategy argument) for many-shape workloads like
+# unbucketed variable-size inference.
+_Z_STRATEGIES = ('unroll', 'loop')
+
+
+def default_z_strategy():
+  s = os.environ.get('HDRNET_TPU_Z_STRATEGY', 'unroll')
+  if s not in _Z_STRATEGIES:
+    raise ValueError(
+        f'HDRNET_TPU_Z_STRATEGY={s!r}: must be one of {_Z_STRATEGIES}')
+  return s
+
+
+def _resolve_z_strategy(z_strategy):
+  if z_strategy is None:
+    return default_z_strategy()
+  if z_strategy not in _Z_STRATEGIES:
+    raise ValueError(
+        f'z_strategy={z_strategy!r}: must be one of {_Z_STRATEGIES}')
+  return z_strategy
 
 
 def _accumulate_sliced(cfg, lg_ref, wy, wx, guide, *, derivative=False):
@@ -265,7 +282,7 @@ def _accumulate_sliced(cfg, lg_ref, wy, wx, guide, *, derivative=False):
   (z-derivative slicing, for the guide VJP) is accumulated sharing the
   same rows.
   """
-  if _Z_STRATEGY == 'loop':
+  if cfg.z_strategy == 'loop':
     return _accumulate_sliced_loop(cfg, lg_ref, wy, wx, guide,
                                    derivative=derivative)
   wz_list = _depth_onehot_weights(guide, cfg.gd)
@@ -682,11 +699,13 @@ def _sharded_setup(grid5, h_local, w_local, h_total, w_total, y_offset,
   return yp, xp, lg, a0, b0, offs, h_pad, w_pad
 
 
-def _cfg_from(grid5, yp, xp, h, w, n_out, n_in, has_offset):
+def _cfg_from(grid5, yp, xp, h, w, n_out, n_in, has_offset,
+              z_strategy=None):
   _, gh, gw, gd, _ = grid5.shape
   return _Cfg(th=yp.tile, tw=xp.tile, ncy=yp.n_cells, ncx=xp.n_cells,
               gh=gh, gw=gw, gd=gd, n_out=n_out, n_in=n_in,
-              has_offset=has_offset, sy=gh / h, sx=gw / w)
+              has_offset=has_offset, sy=gh / h, sx=gw / w,
+              z_strategy=_resolve_z_strategy(z_strategy))
 
 
 def _make_specs(cfg, nty, ntx):
@@ -708,13 +727,14 @@ def _make_specs(cfg, nty, ntx):
 
 
 def slice_apply_fwd(grid5, guide, image_cf, n_out, n_in, has_offset,
-                    interpret=False):
+                    interpret=False, z_strategy=None):
   """Forward pass. grid5 (B,gh,gw,gd,C) packed; guide (B,H,W);
   image_cf (B,n_in,H,W) channel-first. Returns (B,n_out,H,W)."""
   b, h, w = guide.shape
   yp, xp, lg, a0, b0, h_pad, w_pad = _common_setup(grid5, guide, h, w)
   offs = jnp.zeros((2,), jnp.int32)
-  cfg = _cfg_from(grid5, yp, xp, h, w, n_out, n_in, has_offset)
+  cfg = _cfg_from(grid5, yp, xp, h, w, n_out, n_in, has_offset,
+                  z_strategy)
   lg_spec, guide_spec, chan_spec = _make_specs(cfg, yp.n_tiles, xp.n_tiles)
 
   guide_p = _pad_hw(guide, h_pad, w_pad)
@@ -741,7 +761,7 @@ def slice_apply_fwd(grid5, guide, image_cf, n_out, n_in, has_offset,
 def enhance_fused(grid5, image_cf, guide_params, guide_mode, n_out, n_in,
                   has_offset=True, interpret=False, y_offset=None,
                   x_offset=None, h_total=None, w_total=None,
-                  clip_output=False):
+                  clip_output=False, z_strategy=None):
   """Fused guide + slice + apply forward (inference fast path).
 
   grid5 (B,gh,gw,gd,C) packed; image_cf (B,n_in,H,W) channel-first;
@@ -771,7 +791,7 @@ def enhance_fused(grid5, image_cf, guide_params, guide_mode, n_out, n_in,
     h_pad, w_pad = yp.tile * yp.n_tiles, xp.tile * xp.n_tiles
 
   cfg = _cfg_from(grid5, yp, xp, h_total, w_total, n_out, n_in,
-                  has_offset)
+                  has_offset, z_strategy)
   if clip_output:
     cfg = dataclasses.replace(cfg, clip_output=True)
   if guide_mode == 'curves':
@@ -908,13 +928,14 @@ def slice_apply_grid_bwd(grid_shape, guide, image_cf, ct_cf, n_out, n_in,
 
 
 def slice_apply_pix_bwd(grid5, guide, image_cf, ct_cf, n_out, n_in,
-                        has_offset, interpret=False):
+                        has_offset, interpret=False, z_strategy=None):
   """Fused guide + input cotangents. ct_cf (B,n_out,H,W) channel-first.
   Returns (d_guide (B,H,W), d_image_cf (B,n_in,H,W) or None)."""
   b, h, w = guide.shape
   yp, xp, lg, a0, b0, h_pad, w_pad = _common_setup(grid5, guide, h, w)
   offs = jnp.zeros((2,), jnp.int32)
-  cfg = _cfg_from(grid5, yp, xp, h, w, n_out, n_in, has_offset)
+  cfg = _cfg_from(grid5, yp, xp, h, w, n_out, n_in, has_offset,
+                  z_strategy)
   lg_spec, guide_spec, chan_spec = _make_specs(cfg, yp.n_tiles, xp.n_tiles)
 
   guide_p = _pad_hw(guide, h_pad, w_pad)
@@ -963,8 +984,9 @@ def _to_cl(x):
 
 
 class _PallasImpl:
-  def __init__(self, interpret):
+  def __init__(self, interpret, z_strategy=None):
     self.interpret = interpret
+    self.z_strategy = z_strategy
 
   @staticmethod
   def _dims(grid, image, has_offset):
@@ -984,7 +1006,7 @@ class _PallasImpl:
     out_cf = slice_apply_fwd(
         self._pack(grid).astype(jnp.float32), guide.astype(jnp.float32),
         _to_cf(image).astype(jnp.float32), n_out, n_in, has_offset,
-        interpret=self.interpret)
+        interpret=self.interpret, z_strategy=self.z_strategy)
     return _to_cl(out_cf)
 
   def vjps(self, grid, guide, image, ct, has_offset):
@@ -992,7 +1014,8 @@ class _PallasImpl:
     d_guide, d_img_cf = slice_apply_pix_bwd(
         self._pack(grid).astype(jnp.float32), guide.astype(jnp.float32),
         _to_cf(image).astype(jnp.float32), _to_cf(ct).astype(jnp.float32),
-        n_out, n_in, has_offset, interpret=self.interpret)
+        n_out, n_in, has_offset, interpret=self.interpret,
+        z_strategy=self.z_strategy)
     if n_in:
       d_image = _to_cl(d_img_cf)
     else:
@@ -1018,7 +1041,8 @@ class _PallasImpl:
 _IMPLS = {}
 
 
-def get_impl(interpret=False):
-  if interpret not in _IMPLS:
-    _IMPLS[interpret] = _PallasImpl(interpret)
-  return _IMPLS[interpret]
+def get_impl(interpret=False, z_strategy=None):
+  key = (interpret, z_strategy)
+  if key not in _IMPLS:
+    _IMPLS[key] = _PallasImpl(interpret, z_strategy)
+  return _IMPLS[key]

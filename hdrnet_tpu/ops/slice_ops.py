@@ -24,11 +24,14 @@ The packed rank-5 grid layout flattens (no, ni_tot) row-major
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
 
 from hdrnet_tpu.ops import reference as ref
+
+log = logging.getLogger('hdrnet_tpu.ops')
 
 # Default backend: pallas on TPU, reference elsewhere. Resolved lazily so
 # importing this module never touches the TPU runtime.
@@ -47,19 +50,32 @@ def default_backend():
 
 
 def set_default_backend(name):
-  """Force the op backend ('pallas' | 'reference' | 'pallas_interpret')."""
+  """Force the op backend ('pallas' | 'reference' | 'pallas_interpret',
+  optionally with a depth strategy suffix, e.g. 'pallas:loop')."""
   global _DEFAULT_BACKEND
-  assert name in ('pallas', 'reference', 'pallas_interpret', None)
+  if name is not None:
+    _parse_backend(name)  # validate
   _DEFAULT_BACKEND = name
 
 
+def _parse_backend(backend):
+  """'pallas[:zstrategy]' / 'pallas_interpret[:zstrategy]' / 'reference'
+  -> (kind, z_strategy)."""
+  kind, _, z = backend.partition(':')
+  if kind not in ('pallas', 'reference', 'pallas_interpret'):
+    raise ValueError(f'unknown backend: {backend}')
+  if kind == 'reference' and z:
+    raise ValueError(f'reference backend takes no strategy: {backend}')
+  return kind, (z or None)
+
+
 def _get_impl(backend):
-  if backend == 'reference':
+  kind, z_strategy = _parse_backend(backend)
+  if kind == 'reference':
     return _REFERENCE_IMPL
-  if backend in ('pallas', 'pallas_interpret'):
-    from hdrnet_tpu.ops import pallas as pk
-    return pk.get_impl(interpret=(backend == 'pallas_interpret'))
-  raise ValueError(f'unknown backend: {backend}')
+  from hdrnet_tpu.ops import pallas as pk
+  return pk.get_impl(interpret=(kind == 'pallas_interpret'),
+                     z_strategy=z_strategy)
 
 
 class _ReferenceImpl:
@@ -108,7 +124,8 @@ def _slice_apply_bwd(has_offset, backend, res, ct):
 _slice_apply.defvjp(_slice_apply_fwd, _slice_apply_bwd)
 
 
-def bilateral_slice_apply(grid, guide, image, has_offset=True, backend=None):
+def bilateral_slice_apply(grid, guide, image, has_offset=True, backend=None,
+                          z_strategy=None):
   """Fused bilateral slice + per-pixel affine apply. Differentiable.
 
   Args:
@@ -116,16 +133,26 @@ def bilateral_slice_apply(grid, guide, image, has_offset=True, backend=None):
     guide: (b, h, w) in [0, 1].
     image: (b, h, w, n_in); n_in = ni_tot - 1 if has_offset else ni_tot.
     has_offset: whether the last grid input-channel is an additive offset.
-    backend: op backend override; defaults to pallas on TPU.
+    backend: op backend override; defaults to pallas on TPU. May carry a
+      depth strategy suffix ('pallas:loop').
+    z_strategy: Pallas depth-contraction strategy ('unroll' | 'loop');
+      overrides any suffix in `backend`.
 
   Returns:
     (b, h, w, no).
   """
   backend = backend or default_backend()
-  if backend in ('pallas', 'pallas_interpret'):
+  if z_strategy is not None and backend != 'reference':
+    backend = backend.partition(':')[0] + ':' + z_strategy
+  if backend.startswith('pallas'):
     from hdrnet_tpu.ops import pallas as pk
     gh, gw = grid.shape[1], grid.shape[2]
     if not pk.feasible(guide.shape[1], guide.shape[2], gh, gw):
+      log.warning(
+          'bilateral_slice_apply: image %dx%d infeasible for the pallas '
+          'tile planner with grid %dx%d; falling back to the XLA '
+          'reference path (slower)', guide.shape[1], guide.shape[2], gh,
+          gw)
       backend = 'reference'  # image too small relative to grid
   packed = grid.ndim == 5
   if packed:

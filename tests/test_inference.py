@@ -70,16 +70,19 @@ def test_in_kernel_clip_matches_external():
                              atol=1e-7)
 
 
-def test_pyramid_feasibility_covers_all_levels():
+def test_pyramid_feasibility_covers_all_levels(caplog):
   """GaussianPyrNN at a full-res whose COARSE levels are infeasible for
-  the tile planner must fall back to the composite path rather than
-  crash inside enhance_fused (each level halves the pixels per grid
-  cell)."""
+  the tile planner must fall back to the composite path (with a logged
+  downgrade) rather than crash inside enhance_fused (each level halves
+  the pixels per grid cell)."""
+  import logging
   cfg, model, variables, lowres, _ = _setup('HDRNetGaussianPyrNN')
   enh = Enhancer(config=cfg, variables=variables, interpret=True)
   h = w = cfg.spatial_bin * 4  # level 3 has only one pixel per cell
   assert not enh._feasible_at(h, w)
   fullres = np.random.RandomState(0).rand(1, h, w, 3).astype(np.float32)
-  out = enh(lowres, fullres, clip=False)  # composite fallback, no crash
+  with caplog.at_level(logging.WARNING, logger='hdrnet_tpu.inference'):
+    out = enh(lowres, fullres, clip=False)  # composite fallback, no crash
+  assert any('composite path' in r.message for r in caplog.records)
   want = model.apply(variables, lowres, fullres)
   np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)

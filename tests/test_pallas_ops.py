@@ -117,12 +117,32 @@ def test_grid_bwd_kernel_matches_oracle():
                              atol=2e-4 * max(scale, 1.0))
 
 
-def test_infeasible_falls_back():
-  """Image smaller than ~1 px/cell: wrapper silently uses the oracle."""
+def test_infeasible_falls_back(caplog):
+  """Image smaller than ~1 px/cell: wrapper uses the oracle and logs
+  the downgrade (a serving deployment must leave a breadcrumb)."""
+  import logging
   grid, guide, image = _args(6, 1, 16, 16, 4, 3, 3, 18, 20)
-  out = bilateral_slice_apply(grid, guide, image, backend='pallas_interpret')
+  with caplog.at_level(logging.WARNING, logger='hdrnet_tpu.ops'):
+    out = bilateral_slice_apply(grid, guide, image,
+                                backend='pallas_interpret')
+  assert any('falling back' in r.message for r in caplog.records)
   want = bilateral_slice_apply(grid, guide, image, backend='reference')
   np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=ATOL)
+
+
+def test_z_strategy_per_call():
+  """'loop' and 'unroll' depth contractions are the same math; both are
+  selectable per call (no env var / re-import needed)."""
+  grid, guide, image = _args(7, 1, 4, 4, 4, 3, 3, 40, 129)
+  base = bilateral_slice_apply(grid, guide, image, backend='reference')
+  for z in ('unroll', 'loop'):
+    got = bilateral_slice_apply(grid, guide, image,
+                                backend='pallas_interpret', z_strategy=z)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               atol=ATOL)
+  got = bilateral_slice_apply(grid, guide, image,
+                              backend='pallas_interpret:loop')
+  np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=ATOL)
 
 
 def test_tile_planner_windows():
