@@ -142,32 +142,78 @@ class DataPipeline:
       yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
   def prefetching_batches(self, seed=0, capacity=4):
-    """batches() produced by `data_threads` background workers."""
+    """batches() with `data_threads` workers sharing one epoch order.
+
+    Sample-level parallelism like the reference's queue runners
+    (data_pipeline.py:107-124): a single feeder thread emits one
+    shuffled permutation of sample indices per epoch, `data_threads`
+    workers load+augment them concurrently, and batches are stacked
+    from the shared sample stream. The feeder waits for each epoch to
+    be fully produced before starting the next, so every sample
+    appears exactly once per epoch across all workers — N workers do
+    NOT see N duplicate shuffled streams.
+    """
     n_workers = max(1, int(self.cfg.data_threads))
-    q = queue.Queue(maxsize=capacity)
+    bs = self.cfg.batch_size
+    idx_q = queue.Queue(maxsize=2 * n_workers + bs)
+    sample_q = queue.Queue(maxsize=max(capacity * bs, n_workers + 1))
     stop = threading.Event()
+    produced = [0]
+    produced_cv = threading.Condition()
+
+    def feeder():
+      rng = np.random.RandomState(seed)
+      order = list(range(self.nsamples))
+      target = 0
+      while not stop.is_set():
+        if self.cfg.shuffle:
+          rng.shuffle(order)
+        for i in order:
+          while not stop.is_set():
+            try:
+              idx_q.put(i, timeout=0.1)
+              break
+            except queue.Full:
+              continue
+          if stop.is_set():
+            return
+        # Epoch barrier: don't feed epoch k+1 until epoch k is fully
+        # produced, so the consumed stream is exactly epoch-partitioned.
+        target += self.nsamples
+        with produced_cv:
+          while produced[0] < target and not stop.is_set():
+            produced_cv.wait(timeout=0.1)
 
     def worker(wid):
-      for batch in self.batches(seed=seed + wid):
-        if stop.is_set():
-          return
-        q.put(batch)
+      rng = np.random.RandomState(seed * 1000003 + wid + 1)
+      while not stop.is_set():
+        try:
+          i = idx_q.get(timeout=0.1)
+        except queue.Empty:
+          continue
+        inp, out = self._load(self.specs[i], rng)
+        sample = self._augment(inp, out, rng)
+        while not stop.is_set():
+          try:
+            sample_q.put(sample, timeout=0.1)
+            break
+          except queue.Full:
+            continue
+        with produced_cv:
+          produced[0] += 1
+          produced_cv.notify()
 
-    threads = [threading.Thread(target=worker, args=(w,), daemon=True)
-               for w in range(n_workers)]
+    threads = [threading.Thread(target=feeder, daemon=True)]
+    threads += [threading.Thread(target=worker, args=(w,), daemon=True)
+                for w in range(n_workers)]
     for t in threads:
       t.start()
     try:
       while True:
-        yield q.get()
+        samples = [sample_q.get() for _ in range(bs)]
+        yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
     finally:
       stop.set()
-      # Drain so workers blocked on put() can observe stop and exit.
-      while not q.empty():
-        try:
-          q.get_nowait()
-        except queue.Empty:
-          break
 
 
 class ImageFilesDataPipeline(DataPipeline):
@@ -299,12 +345,19 @@ def make_pipeline(path, cfg: DataConfig):
 
 
 def device_prefetch(iterator, sharding=None):
-  """Moves batches to device one step ahead of consumption."""
+  """Moves batches to device one step ahead of consumption.
+
+  `sharding` may be None (commit to default device), a single sharding
+  applied to every leaf, or a dict keyed like the batch (per-key
+  shardings, cf. parallel.mesh.batch_shardings).
+  """
   import jax
 
   def put(batch):
     if sharding is None:
       return jax.tree_util.tree_map(jax.device_put, batch)
+    if isinstance(sharding, dict):
+      return {k: jax.device_put(v, sharding[k]) for k, v in batch.items()}
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
 

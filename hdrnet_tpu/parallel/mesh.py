@@ -87,3 +87,29 @@ def spatial_only_sharding(mesh, ndim):
   """Shard H over the whole mesh — single giant-image inference."""
   spec = [None, (DATA_AXIS, SPATIAL_AXIS)] + [None] * (ndim - 2)
   return NamedSharding(mesh, P(*spec))
+
+
+# Batch keys carrying full-resolution images (sharded over 'spatial').
+FULLRES_KEYS = ('image_input', 'image_output')
+
+
+def batch_shardings(mesh, batch):
+  """Per-key shardings for a training batch dict.
+
+  Full-res images shard (batch, H) over ('data', 'spatial') — legal
+  with zero halo because the guide + slice-apply are pointwise given
+  the replicated coefficient grid (SURVEY.md §5.7). Lowres inputs shard
+  over 'data' only: their conv stack would need halo exchanges under H
+  sharding, and at 256x256 they are cheap enough to replicate across
+  'spatial'. This is the single source of truth for both the
+  production train loop (training/loop.py) and the driver's multi-chip
+  dryrun (__graft_entry__.py), so the dryrun certifies the real path.
+  """
+  dp = batch_sharding(mesh)
+  out = {}
+  for k, v in batch.items():
+    if k in FULLRES_KEYS and getattr(v, 'ndim', 0) >= 3:
+      out[k] = spatial_batch_sharding(mesh, v.ndim)
+    else:
+      out[k] = dp
+  return out

@@ -51,6 +51,11 @@ class SummaryWriter:
       f.write(json.dumps(rec) + '\n')
 
 
+def _chain_first(first, rest):
+  yield first
+  yield from rest
+
+
 def _enable_compile_cache(checkpoint_dir):
   """Persistent XLA compilation cache: the fused kernels take minutes to
   compile per shape; cache hits make restarts/resumes instant."""
@@ -91,10 +96,19 @@ def train(config: Config, checkpoint_dir, data_dir, eval_data_dir=None,
   log.info('training on %d samples from %s over %d device(s) mesh=%s',
            pipeline.nsamples, data_dir, n_dev, dict(mesh.shape))
 
-  batch_shard = pm.batch_sharding(mesh)
   rep = pm.replicated(mesh)
-  batches = device_prefetch(
-      pipeline.prefetching_batches(seed=tc.seed), batch_shard)
+  raw_batches = pipeline.prefetching_batches(seed=tc.seed)
+  peek = next(raw_batches)
+  if mesh_shape[1] > 1:
+    h = peek['image_input'].shape[1]
+    if h % mesh_shape[1]:
+      raise ValueError(
+          f'full-res height {h} not divisible by spatial mesh degree '
+          f'{mesh_shape[1]}')
+  # Full-res images shard (batch, H) over ('data', 'spatial'); lowres
+  # over 'data' only — same tree as the driver's multi-chip dryrun.
+  batch_shard = pm.batch_shardings(mesh, peek)
+  batches = device_prefetch(_chain_first(peek, raw_batches), batch_shard)
   first = next(batches)
 
   ckpt = Checkpointer(checkpoint_dir)

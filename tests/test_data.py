@@ -158,6 +158,38 @@ def test_prefetching_batches(tmp_path):
   next(it)
 
 
+class _ConstantPipeline(ImageFilesDataPipeline):
+  """Each sample i is a constant image of value i/255 — identifiable
+  after any crop/flip, so epoch semantics can be audited."""
+
+  def _sample_paths(self):
+    return list(range(12))
+
+  def _load(self, spec, rng):
+    im = np.full((48, 64, 3), spec / 255.0, np.float32)
+    return im, im
+
+
+def test_prefetch_epoch_semantics():
+  """Each sample appears exactly once per epoch across ALL workers —
+  sample-level parallelism (reference data_pipeline.py:107-124), not N
+  duplicate shuffled streams."""
+  pipe = _ConstantPipeline(
+      '/unused', _cfg(batch_size=3, data_threads=4, shuffle=True,
+                      random_crop=True))
+  n = pipe.nsamples
+  it = pipe.prefetching_batches(seed=7)
+  ids = []
+  for _ in range(2 * n // 3):  # two full epochs of batch-3 batches
+    b = next(it)
+    ids.extend(np.round(b['image_input'][:, 0, 0, 0] * 255).astype(int))
+  epoch1, epoch2 = sorted(ids[:n]), sorted(ids[n:2 * n])
+  assert epoch1 == list(range(n)), epoch1
+  assert epoch2 == list(range(n)), epoch2
+  # Shuffling really happened (astronomically unlikely to be identity).
+  assert ids[:n] != list(range(n)) or ids[n:2 * n] != list(range(n))
+
+
 def test_registry():
   with pytest.raises(ValueError):
     make_pipeline('/nonexistent', DataConfig(pipeline='Nope'))

@@ -47,6 +47,51 @@ def test_spatially_sharded_inference_matches(cpu_devices):
   np.testing.assert_allclose(np.asarray(got), np.asarray(got1), atol=2e-5)
 
 
+def test_spatial_mesh_training_matches_pure_dp(cpu_devices, tmp_path):
+  """The production train loop on a (4,2) ('data','spatial') mesh must
+  produce the same params as pure DP (8,1): full-res H sharding is
+  numerically a layout choice, not a different algorithm."""
+  import os
+  from PIL import Image
+  from hdrnet_tpu.config import (Config, DataConfig, ModelConfig,
+                                 TrainConfig)
+  from hdrnet_tpu.training.loop import train
+
+  rng = np.random.RandomState(0)
+  data = tmp_path / 'data'
+  os.makedirs(data / 'input')
+  os.makedirs(data / 'output')
+  names = []
+  for i in range(8):
+    im = (rng.rand(80, 96, 3) * 255).astype(np.uint8)
+    out = np.clip(im.astype(np.float32) * 1.2, 0, 255).astype(np.uint8)
+    Image.fromarray(im).save(data / 'input' / f'im{i}.png')
+    Image.fromarray(out).save(data / 'output' / f'im{i}.png')
+    names.append(f'im{i}.png')
+  (data / 'filelist.txt').write_text('\n'.join(names))
+
+  def run(mesh_shape, ckpt):
+    cfg = Config(
+        model=ModelConfig(model_name='HDRNetCurves', net_input_size=32,
+                          spatial_bin=8, luma_bins=4,
+                          output_resolution=[64, 64]),
+        data=DataConfig(batch_size=8, output_resolution=[64, 64],
+                        net_input_size=32, data_threads=1),
+        train=TrainConfig(learning_rate=3e-3, max_steps=3,
+                          mesh_shape=list(mesh_shape),
+                          log_interval=9999, summary_interval=9999,
+                          checkpoint_interval=9999))
+    return train(cfg, str(tmp_path / ckpt), str(data))
+
+  s_dp = run((8, 1), 'ckpt_dp')
+  s_sp = run((4, 2), 'ckpt_sp')
+  assert int(s_dp.step) == int(s_sp.step) == 3
+  jax.tree_util.tree_map(
+      lambda a, b: np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+      s_dp.params, s_sp.params)
+
+
 def test_sharded_inference_1d_mesh(cpu_devices):
   cfg = ModelConfig(model_name='HDRNetPointwiseNNGuide', net_input_size=64,
                     spatial_bin=8, luma_bins=4, guide_complexity=4)
