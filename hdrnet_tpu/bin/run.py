@@ -56,6 +56,12 @@ def main(argv=None):
                       help='16-bit linear HDR+ input handling')
   parser.add_argument('--debug', action='store_true',
                       help='dump coefficient/guide visualizations')
+  parser.add_argument('--lowres_input', default=None,
+                      help='directory of precomputed lowres inputs '
+                           '(matched by basename) instead of nearest-'
+                           'downsampling; the reference declares this '
+                           'flag but leaves it NotImplemented '
+                           '(bin/run.py:167-171)')
   args = parser.parse_args(argv)
 
   import jax
@@ -63,6 +69,7 @@ def main(argv=None):
   from hdrnet_tpu import native
   from hdrnet_tpu.config import Config
   from hdrnet_tpu.data import images
+  from hdrnet_tpu.inference import Enhancer
   from hdrnet_tpu.models import make_model
   from hdrnet_tpu.training.checkpoint import Checkpointer
   from hdrnet_tpu.training.step import abstract_state
@@ -96,8 +103,13 @@ def main(argv=None):
   if state.batch_stats:
     variables['batch_stats'] = state.batch_stats
 
+  # Serving path: bucketed dynamic-shape Enhancer — a directory of
+  # mixed-size photos compiles one fused kernel per resolution bucket,
+  # not one per exact shape.
+  enh = Enhancer(config=config.model, variables=variables)
+
   @jax.jit
-  def infer(lowres, fullres):
+  def infer_debug(lowres, fullres):
     out, inter = model.apply(variables, lowres, fullres,
                              mutable=['intermediates'])
     return jnp.clip(out, 0.0, 1.0), inter['intermediates']
@@ -110,10 +122,23 @@ def main(argv=None):
     if args.hdrp and im.dtype == np.uint16:
       log.info('HDR+ 16-bit input, white level %s', white)
     im = native.to_float(im, white)
-    lowres = native.resize_nearest(im, (net_size, net_size))
-
-    out, inter = infer(jnp.asarray(lowres)[None], jnp.asarray(im)[None])
     fname = os.path.splitext(os.path.basename(in_path))[0]
+    if args.lowres_input:
+      low_path = os.path.join(args.lowres_input,
+                              os.path.basename(in_path))
+      lowres = native.to_float(images.imread(low_path), white)
+      if lowres.shape[:2] != (net_size, net_size):
+        raise ValueError(
+            f'{low_path}: lowres input is {lowres.shape[:2]}, model '
+            f'expects {(net_size, net_size)}')
+    else:
+      lowres = native.resize_nearest(im, (net_size, net_size))
+
+    if args.debug:
+      out, inter = infer_debug(jnp.asarray(lowres)[None],
+                               jnp.asarray(im)[None])
+    else:
+      out = enh.enhance_any(lowres[None], im[None])
     images.imwrite(os.path.join(args.output, fname + '.png'),
                    np.asarray(out[0]))
 

@@ -60,6 +60,24 @@ def _nn_guide_params(gp, gs, n_in):
   return (w1_ext.astype(jnp.float32), w2_ext.astype(jnp.float32))
 
 
+# Resolution buckets for dynamic-shape serving (ratio 1.25: worst-case
+# padding waste 1.56x in area; each bucket is one kernel compile that
+# serves every true size in (prev_rung, rung]).
+BUCKET_LADDER = (256, 320, 400, 512, 640, 800, 1024, 1280, 1600, 2048,
+                 2560, 3200, 4096, 5120)
+
+
+def bucket_extent(x):
+  """Smallest ladder rung >= x, with its lower bound (prev rung + 1).
+  Returns (rung, min_extent) or None if x is beyond the ladder."""
+  prev = 0
+  for rung in BUCKET_LADDER:
+    if x <= rung:
+      return rung, prev + 1
+    prev = rung
+  return None
+
+
 class Enhancer:
   """Loads a trained model and serves full-res enhancement."""
 
@@ -196,6 +214,80 @@ class Enhancer:
         return self._forward(lowres, fullres, clip=clip)
       self._jitted[key] = jax.jit(fn)
     return self._jitted[key](lowres, fullres)
+
+  # -- bucketed dynamic-shape serving -----------------------------------
+
+  def _bucketable(self, h, w):
+    """One fused compile per bucket requires: a single-grid fused model
+    and a feasible offset-universal tile plan for the bucket."""
+    if not self.use_fused or isinstance(self.model, HDRNetGaussianPyrNN):
+      return None
+    hb, wb = bucket_extent(h), bucket_extent(w)
+    if hb is None or wb is None:
+      return None
+    sb = self.model_cfg.spatial_bin
+    if not pk.feasible_dynamic(hb[0], wb[0], hb[1], wb[1], sb, sb):
+      return None
+    return hb, wb
+
+  def enhance_any(self, lowres, fullres, clip=True):
+    """Arbitrary-resolution serving (the reference run.py use case,
+    bin/run.py:87-90) without a compile per exact shape.
+
+    The image is zero-padded up to a resolution bucket and the fused
+    kernel runs with the TRUE size as a traced scalar (the pixel->grid
+    scale uses the true size, so valid pixels are bit-identical to the
+    unpadded exact-shape path); the padded border is cropped off. One
+    kernel compile serves every size inside a bucket; out-of-ladder or
+    infeasible shapes fall back to the exact-shape path. Uses the
+    'loop' depth strategy (5 s compiles) unless the exact shape is
+    already compiled.
+    """
+    key = (lowres.shape, fullres.shape, bool(clip))
+    if key in self._jitted:  # steady-state shape already paid for
+      return self._jitted[key](lowres, fullres)
+    b, h, w, _ = fullres.shape
+    buckets = self._bucketable(h, w)
+    if buckets is None:
+      log.warning(
+          'enhance_any: %dx%d not bucketable (model %s); compiling the '
+          'exact shape instead', h, w, type(self.model).__name__)
+      return self(lowres, fullres, clip=clip)
+    (h_b, h_min), (w_b, w_min) = buckets
+    bkey = ('bucket', b, lowres.shape, h_b, w_b, bool(clip))
+    if bkey not in self._jitted:
+      self._jitted[bkey] = jax.jit(functools.partial(
+          self._bucketed_forward, h_b=h_b, w_b=w_b, h_min=h_min,
+          w_min=w_min, clip=clip))
+    pads = ((0, 0), (0, h_b - h), (0, w_b - w), (0, 0))
+    if isinstance(fullres, np.ndarray):
+      padded = np.pad(fullres, pads)  # host-side: no eager device op
+    else:
+      padded = jnp.pad(fullres, pads)
+    hw = jnp.asarray([h, w], jnp.int32)
+    out = self._jitted[bkey](lowres, padded, hw)
+    return out[:, :h, :w]
+
+  def _bucketed_forward(self, lowres, padded, hw, *, h_b, w_b, h_min,
+                        w_min, clip):
+    model, cfg = self.model, self.model_cfg
+    bb_vars = {'params': self.variables['params']['coefficients']}
+    if 'coefficients' in self.variables.get('batch_stats', {}):
+      bb_vars['batch_stats'] = self.variables['batch_stats'][
+          'coefficients']
+    from hdrnet_tpu.models.hdrnet import CoefficientBackbone
+    backbone = CoefficientBackbone(cfg, model.n_out, model.n_in_tot)
+    grid = backbone.apply(bb_vars, lowres)
+    b, gh, gw, gd, no, ni1 = grid.shape
+    mode, gparams = self._guide_args()[0]
+    packed = grid.reshape(b, gh, gw, gd, no * ni1)
+    img_cf = jnp.transpose(padded, (0, 3, 1, 2))
+    out_cf = pk.enhance_fused(packed, img_cf, gparams, mode, no,
+                              cfg.n_in, True, interpret=self.interpret,
+                              clip_output=clip, z_strategy='loop',
+                              h_true=hw[0], w_true=hw[1], h_min=h_min,
+                              w_min=w_min)
+    return jnp.transpose(out_cf, (0, 2, 3, 1))
 
   # -- spatially-sharded giant-image inference -------------------------
 

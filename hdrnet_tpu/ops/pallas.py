@@ -164,6 +164,11 @@ class _Cfg:
   clip_output: bool = False
   # Depth-contraction strategy ('unroll' | 'loop'); see default_z_strategy.
   z_strategy: str = 'unroll'
+  # Bucketed dynamic-size serving: the physical arrays are padded to a
+  # static bucket shape, while the TRUE logical (H, W) arrives as traced
+  # scalars in off_ref[2:4] and the pixel->grid scale is computed
+  # in-kernel. One compile serves every true size within the bucket.
+  dynamic_size: bool = False
 
   @property
   def ni_tot(self):
@@ -360,13 +365,20 @@ def _accumulate_sliced_loop(cfg, lg_ref, wy, wx, guide, *,
 
 
 def _make_wy_wx(cfg, a0, b0, off_ref, ty, tx):
-  """Spatial one-hot weights; off_ref holds the shard's (y, x) pixel
-  offset in the *global* image (zero when unsharded), so the same
+  """Spatial one-hot weights; off_ref[0:2] holds the shard's (y, x)
+  pixel offset in the *global* image (zero when unsharded), so the same
   kernel serves spatially-sharded giant-image inference with zero halo
-  (SURVEY.md §5.7)."""
-  wy = _spatial_onehot_weights(ty * cfg.th + off_ref[0], cfg.th, cfg.sy,
+  (SURVEY.md §5.7). In dynamic-size mode off_ref[2:4] carries the true
+  logical (H, W) and the scale is computed here (identical f32 ops to
+  the host-side _traced_starts, so floors agree bitwise)."""
+  if cfg.dynamic_size:
+    sy = cfg.gh / _f32(off_ref[2])
+    sx = cfg.gw / _f32(off_ref[3])
+  else:
+    sy, sx = cfg.sy, cfg.sx
+  wy = _spatial_onehot_weights(ty * cfg.th + off_ref[0], cfg.th, sy,
                                a0, cfg.ncy, (cfg.th, 1), 0)
-  wx = _spatial_onehot_weights(tx * cfg.tw + off_ref[1], cfg.tw, cfg.sx,
+  wx = _spatial_onehot_weights(tx * cfg.tw + off_ref[1], cfg.tw, sx,
                                b0, cfg.ncx, (1, cfg.tw), 1)
   return wy, wx
 
@@ -694,9 +706,75 @@ def _sharded_setup(grid5, h_local, w_local, h_total, w_total, y_offset,
     x_off = jnp.asarray(x_offset, jnp.int32)
     b0 = _traced_starts(xp, x_off, gw / w_total)
   lg = _extract_cell_windows_traced(grid5, yp, xp, a0, b0)
-  offs = jnp.stack([y_off, x_off])
+  zero = jnp.zeros((), jnp.int32)
+  offs = jnp.stack([y_off, x_off, zero, zero])
   h_pad, w_pad = yp.tile * yp.n_tiles, xp.tile * xp.n_tiles
   return yp, xp, lg, a0, b0, offs, h_pad, w_pad
+
+
+# --- bucketed dynamic-size planning -----------------------------------------
+
+
+def _dynamic_axis_plan(extent_padded, extent_min, cells, lane_dim):
+  """Axis plan valid for ANY true extent in [extent_min, extent_padded].
+
+  The physical array is padded to `extent_padded`; the per-tile cell
+  window must cover the taps of every pixel at the worst-case scale
+  cells/extent_min: the tap span across a tile is (tile-1)*scale, so
+  n_cells = ceil((tile-1)*cells/extent_min) + 2 (first tap's floor
+  cell, every boundary crossing, plus the +1 tap) — same universal
+  bound as the sharded planner (_sharded_axis_plan)."""
+  if lane_dim:
+    candidates = [512, 256, 128] if extent_padded > 1536 else [256, 128]
+  else:
+    candidates = [256, 128, 64, 32, 16, 8]
+  best = None
+  for tile in candidates:
+    n_cells = int(np.ceil((tile - 1) * cells / extent_min)) + 2
+    if n_cells > _MAX_CELLS:
+      continue
+    n_tiles = _round_up(extent_padded, tile) // tile
+    plan = _AxisPlan(tile, n_tiles, n_cells, None)
+    if best is None or plan.n_cells < best.n_cells:
+      best = plan
+  return best
+
+
+def plan_tiles_dynamic(h_pad, w_pad, h_min, w_min, gh, gw):
+  """Bucket tile plan, or None if infeasible for this (bucket, min)."""
+  yp = _dynamic_axis_plan(h_pad, h_min, gh, lane_dim=False)
+  xp = _dynamic_axis_plan(w_pad, w_min, gw, lane_dim=True)
+  if yp is None or xp is None:
+    return None
+  if yp.tile * xp.tile > _MAX_TILE_PIXELS:
+    tile = max(8, _MAX_TILE_PIXELS // xp.tile)
+    n_cells = int(np.ceil((tile - 1) * gh / h_min)) + 2
+    if n_cells > _MAX_CELLS:
+      return None
+    yp = _AxisPlan(tile, _round_up(h_pad, tile) // tile, n_cells, None)
+  return yp, xp
+
+
+def feasible_dynamic(h_pad, w_pad, h_min, w_min, gh, gw):
+  return plan_tiles_dynamic(h_pad, w_pad, h_min, w_min, gh, gw) is not None
+
+
+def _dynamic_setup(grid5, h_pad, w_pad, h_min, w_min, h_true, w_true):
+  """Traced-size setup: tile plan for the padded bucket, cell-window
+  starts computed from the traced true extents (the same f32 ops the
+  kernel uses for its in-kernel scale, so floors agree)."""
+  _, gh, gw, _, _ = grid5.shape
+  plans = plan_tiles_dynamic(h_pad, w_pad, h_min, w_min, gh, gw)
+  assert plans is not None, 'caller must check feasible_dynamic()'
+  yp, xp = plans
+  h_t = jnp.asarray(h_true, jnp.int32)
+  w_t = jnp.asarray(w_true, jnp.int32)
+  a0 = _traced_starts(yp, jnp.zeros((), jnp.int32), gh / _f32(h_t))
+  b0 = _traced_starts(xp, jnp.zeros((), jnp.int32), gw / _f32(w_t))
+  lg = _extract_cell_windows_traced(grid5, yp, xp, a0, b0)
+  zero = jnp.zeros((), jnp.int32)
+  offs = jnp.stack([zero, zero, h_t, w_t])
+  return yp, xp, lg, a0, b0, offs
 
 
 def _cfg_from(grid5, yp, xp, h, w, n_out, n_in, has_offset,
@@ -732,7 +810,7 @@ def slice_apply_fwd(grid5, guide, image_cf, n_out, n_in, has_offset,
   image_cf (B,n_in,H,W) channel-first. Returns (B,n_out,H,W)."""
   b, h, w = guide.shape
   yp, xp, lg, a0, b0, h_pad, w_pad = _common_setup(grid5, guide, h, w)
-  offs = jnp.zeros((2,), jnp.int32)
+  offs = jnp.zeros((4,), jnp.int32)
   cfg = _cfg_from(grid5, yp, xp, h, w, n_out, n_in, has_offset,
                   z_strategy)
   lg_spec, guide_spec, chan_spec = _make_specs(cfg, yp.n_tiles, xp.n_tiles)
@@ -761,7 +839,8 @@ def slice_apply_fwd(grid5, guide, image_cf, n_out, n_in, has_offset,
 def enhance_fused(grid5, image_cf, guide_params, guide_mode, n_out, n_in,
                   has_offset=True, interpret=False, y_offset=None,
                   x_offset=None, h_total=None, w_total=None,
-                  clip_output=False, z_strategy=None):
+                  clip_output=False, z_strategy=None, h_true=None,
+                  w_true=None, h_min=None, w_min=None):
   """Fused guide + slice + apply forward (inference fast path).
 
   grid5 (B,gh,gw,gd,C) packed; image_cf (B,n_in,H,W) channel-first;
@@ -769,13 +848,27 @@ def enhance_fused(grid5, image_cf, guide_params, guide_mode, n_out, n_in,
     'curves': (ccm_ext (n_in+1, n_in), curves (2*n_in, n_pts),
                mix (n_in+1, 1))
     'nn':     (w1_ext (n_in+1, gc), w2_ext (gc+1, 1))  [BN pre-folded]
+  Bucketed dynamic-size serving (reference run.py accepts arbitrary
+  HxW, bin/run.py:87-90): pass the image zero-padded to a static bucket
+  (H, W) plus the TRUE logical size as traced scalars h_true/w_true and
+  static lower bounds h_min/w_min (the smallest true size this compile
+  must serve). One compile then serves every size in the bucket; rows
+  and columns beyond (h_true, w_true) are garbage for the caller to
+  crop.
   Returns (B, n_out, H, W).
   """
   b, _, h, w = image_cf.shape
   _, gh, gw, gd, _ = grid5.shape
   h_total = h_total or h
   w_total = w_total or w
-  if y_offset is not None or x_offset is not None:
+  dynamic = h_true is not None
+  if dynamic:
+    assert y_offset is None and x_offset is None, (
+        'dynamic size and spatial sharding are separate paths')
+    yp, xp, lg, a0, b0, offs = _dynamic_setup(
+        grid5, h, w, h_min or h, w_min or w, h_true, w_true)
+    h_pad, w_pad = yp.tile * yp.n_tiles, xp.tile * xp.n_tiles
+  elif y_offset is not None or x_offset is not None:
     # Spatially-sharded path: this call sees a (local) band of a
     # h_total x w_total image starting at the traced (y, x) offset.
     yp, xp, lg, a0, b0, offs, h_pad, w_pad = _sharded_setup(
@@ -787,11 +880,13 @@ def enhance_fused(grid5, image_cf, guide_params, guide_mode, n_out, n_in,
     lg = _extract_cell_windows(grid5, yp, xp)
     a0 = jnp.asarray(yp.starts)
     b0 = jnp.asarray(xp.starts)
-    offs = jnp.zeros((2,), jnp.int32)
+    offs = jnp.zeros((4,), jnp.int32)
     h_pad, w_pad = yp.tile * yp.n_tiles, xp.tile * xp.n_tiles
 
   cfg = _cfg_from(grid5, yp, xp, h_total, w_total, n_out, n_in,
                   has_offset, z_strategy)
+  if dynamic:
+    cfg = dataclasses.replace(cfg, dynamic_size=True)
   if clip_output:
     cfg = dataclasses.replace(cfg, clip_output=True)
   if guide_mode == 'curves':
@@ -892,7 +987,7 @@ def slice_apply_grid_bwd(grid_shape, guide, image_cf, ct_cf, n_out, n_in,
 
   a0 = jnp.asarray(yp.starts)
   b0 = jnp.asarray(xp.starts)
-  offs = jnp.asarray([-pad_y, -pad_x], jnp.int32)
+  offs = jnp.asarray([-pad_y, -pad_x, 0, 0], jnp.int32)
   h_pad, w_pad = yp.tile * yp.n_tiles, xp.tile * xp.n_tiles
 
   cfg = _Cfg(th=yp.tile, tw=xp.tile, ncy=yp.n_cells, ncx=xp.n_cells,
@@ -933,7 +1028,7 @@ def slice_apply_pix_bwd(grid5, guide, image_cf, ct_cf, n_out, n_in,
   Returns (d_guide (B,H,W), d_image_cf (B,n_in,H,W) or None)."""
   b, h, w = guide.shape
   yp, xp, lg, a0, b0, h_pad, w_pad = _common_setup(grid5, guide, h, w)
-  offs = jnp.zeros((2,), jnp.int32)
+  offs = jnp.zeros((4,), jnp.int32)
   cfg = _cfg_from(grid5, yp, xp, h, w, n_out, n_in, has_offset,
                   z_strategy)
   lg_spec, guide_spec, chan_spec = _make_specs(cfg, yp.n_tiles, xp.n_tiles)

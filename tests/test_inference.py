@@ -70,6 +70,66 @@ def test_in_kernel_clip_matches_external():
                              atol=1e-7)
 
 
+def _setup_big(name='HDRNetCurves'):
+  """Full HDRNet-sized grid (16x16x8) so real buckets are feasible."""
+  cfg = ModelConfig(model_name=name, net_input_size=64, spatial_bin=16,
+                    luma_bins=8)
+  model = make_model(cfg)
+  rng = np.random.RandomState(0)
+  lowres = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+  fullres = jnp.asarray(rng.rand(1, 512, 512, 3), jnp.float32)
+  variables = model.init(jax.random.PRNGKey(0), lowres, fullres,
+                         train=True)
+  return cfg, model, variables, lowres
+
+
+def test_bucketed_serving_matches_exact():
+  """enhance_any pads to a bucket and runs the kernel with the TRUE
+  size traced — valid pixels must match the exact-shape fused path."""
+  cfg, model, variables, lowres = _setup_big()
+  enh = Enhancer(config=cfg, variables=variables, interpret=True)
+  rng = np.random.RandomState(1)
+  fullres = np.asarray(rng.rand(1, 450, 700, 3), np.float32)
+  got = enh.enhance_any(lowres, fullres, clip=False)
+  assert got.shape == (1, 450, 700, 3)
+  want = enh(lowres, jnp.asarray(fullres), clip=False)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             atol=1e-6)
+
+
+def test_bucketed_serving_compile_count():
+  """A directory's worth of mixed sizes must NOT compile per shape:
+  4 distinct sizes inside 2 buckets -> exactly 2 cache entries
+  (the reference serves arbitrary HxW, bin/run.py:87-90; per-shape
+  Mosaic compiles would be a compile storm)."""
+  cfg, model, variables, lowres = _setup_big()
+  enh = Enhancer(config=cfg, variables=variables, interpret=True)
+  rng = np.random.RandomState(2)
+  sizes = [(450, 700), (512, 768), (460, 712), (480, 680)]
+  outs = {}
+  for h, w in sizes:
+    fullres = np.asarray(rng.rand(1, h, w, 3), np.float32)
+    out = enh.enhance_any(lowres, fullres)
+    assert out.shape == (1, h, w, 3)
+    outs[(h, w)] = (fullres, out)
+  assert len(enh._jitted) <= 2, list(enh._jitted)
+  # Spot-check one size against the composite model output.
+  fullres, out = outs[(512, 768)]
+  want = jnp.clip(model.apply(variables, lowres, jnp.asarray(fullres)),
+                  0.0, 1.0)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                             atol=2e-5)
+
+
+def test_bucket_ladder():
+  from hdrnet_tpu.inference import bucket_extent
+  assert bucket_extent(450) == (512, 401)
+  assert bucket_extent(512) == (512, 401)
+  assert bucket_extent(513) == (640, 513)
+  assert bucket_extent(2160) == (2560, 2049)
+  assert bucket_extent(9000) is None
+
+
 def test_pyramid_feasibility_covers_all_levels(caplog):
   """GaussianPyrNN at a full-res whose COARSE levels are infeasible for
   the tile planner must fall back to the composite path (with a logged

@@ -76,6 +76,40 @@ def test_cli_arg_plumbing():
   assert cfg.train.mesh_shape == [4, 2]
 
 
+def test_run_cli_mixed_sizes(dataset, tmp_path):
+  """run CLI end-to-end over a directory of MIXED image sizes, plus the
+  --lowres_input flag (which the reference declares but leaves
+  NotImplemented, bin/run.py:167-171)."""
+  from PIL import Image
+  from hdrnet_tpu.bin.run import main as run_main
+  from hdrnet_tpu.training.loop import train
+
+  ckpt = str(tmp_path / 'ckpt')
+  train(_config(2), ckpt, str(dataset))
+
+  rng = np.random.RandomState(3)
+  photos = tmp_path / 'photos'
+  lowdir = tmp_path / 'low'
+  os.makedirs(photos)
+  os.makedirs(lowdir)
+  for i, (h, w) in enumerate([(70, 90), (90, 70), (80, 80)]):
+    im = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    Image.fromarray(im).save(photos / f'p{i}.png')
+    low = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+    Image.fromarray(low).save(lowdir / f'p{i}.png')
+
+  out = tmp_path / 'out'
+  run_main([ckpt, str(photos), str(out)])
+  produced = sorted(os.listdir(out))
+  assert produced == ['p0.png', 'p1.png', 'p2.png']
+  assert np.asarray(Image.open(out / 'p1.png')).shape == (90, 70, 3)
+
+  out2 = tmp_path / 'out2'
+  run_main([ckpt, str(photos), str(out2), '--lowres_input', str(lowdir),
+            '--limit', '1'])
+  assert sorted(os.listdir(out2)) == ['p0.png']
+
+
 def test_evaluate_cli(dataset, tmp_path, capsys):
   """Standalone evaluate CLI: restores the checkpoint via the
   eval_shape template and reports mean PSNR / L2 as JSON."""
