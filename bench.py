@@ -15,6 +15,7 @@ measurement chains N iterations inside one jitted computation with a
 data dependency between iterations, and fetches one scalar at the end.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -24,8 +25,8 @@ import numpy as np
 TARGET_4K_FPS = 200.0  # BASELINE.md: >= 200 4K frames/sec/chip on v5e
 
 
-def _timed_chain(fn, n, *args):
-  """Median-of-3 of an n-iteration on-device chain; returns sec/iter.
+def _timed_chain(fn, n, *args, burn=1, repeats=3):
+  """Median-of-`repeats` of an n-iteration on-device chain; sec/iter.
 
   For stages whose output is small (scalar-sum feedback is cheap
   relative to the stage itself)."""
@@ -39,16 +40,17 @@ def _timed_chain(fn, n, *args):
       acc = acc + fn(*a, acc * 1e-30)
     return acc
 
-  float(chain(*args))  # compile + warm
+  for _ in range(max(1, burn)):  # compile + warm (--burn, main.cc:31-37)
+    float(chain(*args))
   ts = []
-  for _ in range(3):
+  for _ in range(repeats):
     t0 = time.time()
     float(chain(*args))
     ts.append((time.time() - t0) / n)
-  return sorted(ts)[1]
+  return sorted(ts)[len(ts) // 2]
 
 
-def _timed_feedback_chain(fn, n, x0, *args):
+def _timed_feedback_chain(fn, n, x0, *args, burn=1, repeats=3):
   """Median-of-3 sec/iter of x <- fn(x, *args), iterated on device.
 
   For full-res image->image stages: feeding the output image back as
@@ -66,16 +68,28 @@ def _timed_feedback_chain(fn, n, x0, *args):
       x = fn(x, *a)
     return x.reshape(-1)[0]
 
-  float(chain(x0, *args))  # compile + warm
+  for _ in range(max(1, burn)):  # compile + warm (--burn)
+    float(chain(x0, *args))
   ts = []
-  for _ in range(3):
+  for _ in range(repeats):
     t0 = time.time()
     float(chain(x0, *args))
     ts.append((time.time() - t0) / n)
-  return sorted(ts)[1]
+  return sorted(ts)[len(ts) // 2]
 
 
-def main():
+def main(argv=None):
+  parser = argparse.ArgumentParser(description=__doc__)
+  parser.add_argument('--iters', type=int, default=20,
+                      help='iterations per on-device chain '
+                           '(reference --iters, main.cc:31-37)')
+  parser.add_argument('--burn', type=int, default=1,
+                      help='warm-up chain invocations before timing '
+                           '(reference --burn_iters)')
+  parser.add_argument('--repeats', type=int, default=3,
+                      help='timed chain invocations; median is reported')
+  args = parser.parse_args(argv)
+
   import jax
   import jax.numpy as jnp
   from hdrnet_tpu.config import ModelConfig
@@ -97,30 +111,35 @@ def main():
   lowres = jnp.asarray(rng.rand(1, 256, 256, 3), np.float32)
   variables = model.init(jax.random.PRNGKey(0), lowres, full4k)
 
-  n = 20
+  n = args.iters
+  import functools
+  timed_chain = functools.partial(_timed_chain, burn=args.burn,
+                                  repeats=args.repeats)
+  timed_feedback_chain = functools.partial(
+      _timed_feedback_chain, burn=args.burn, repeats=args.repeats)
 
   # --- stage: downsample (full-res -> 256 nearest, data_pipeline.py:165-169)
-  t_down = _timed_chain(
+  t_down = timed_chain(
       lambda f, eps: resize_nearest(f + eps, (256, 256)).sum(), n, full4k)
 
   # --- stage: coefficient net (lowres only)
   from hdrnet_tpu.models.hdrnet import CoefficientBackbone
   bb = CoefficientBackbone(cfg, 3, 4)
   bb_vars = {'params': variables['params']['coefficients']}
-  t_coeff = _timed_chain(
+  t_coeff = timed_chain(
       lambda l, eps: bb.apply(bb_vars, l + eps).sum(), n, lowres)
 
   # --- stage: guide (full-res pointwise curves)
   from hdrnet_tpu.models.guides import CurveGuide
   g_vars = {'params': variables['params']['guide']}
   guide_mod = CurveGuide()
-  t_guide = _timed_chain(
+  t_guide = timed_chain(
       lambda f, eps: guide_mod.apply(g_vars, f + eps).sum(), n, full4k)
 
   # --- stage: fused slice-apply (the Pallas kernel); image feedback
   grid = jnp.asarray(rng.randn(1, 16, 16, 8, 3, 4) * 0.05, np.float32)
   guide4k = jnp.asarray(rng.rand(1, H, W), np.float32)
-  t_slice = _timed_feedback_chain(
+  t_slice = timed_feedback_chain(
       lambda f, g, gu: bilateral_slice_apply(g, gu, f), n, full4k,
       grid, guide4k)
 
@@ -131,20 +150,20 @@ def main():
 
   def e2e(f, l):
     return enh._forward(l, f, clip=True)
-  t_4k = _timed_feedback_chain(e2e, n, full4k, lowres)
-  t_1080 = _timed_feedback_chain(e2e, n, full1080, lowres)
+  t_4k = timed_feedback_chain(e2e, n, full4k, lowres)
+  t_1080 = timed_feedback_chain(e2e, n, full1080, lowres)
 
   # --- composite (unfused) model forward, for reference
   def e2e_composite(f, v, l):
     return jnp.clip(model.apply(v, l, f), 0.0, 1.0)
-  t_4k_composite = _timed_feedback_chain(e2e_composite, n, full4k,
+  t_4k_composite = timed_feedback_chain(e2e_composite, n, full4k,
                                          variables, lowres)
 
   # --- batched serving throughput (amortizes the coeff-net latency)
   bt = 4
   full4k_b = jnp.asarray(rng.rand(bt, H, W, 3), np.float32)
   lowres_b = jnp.asarray(rng.rand(bt, 256, 256, 3), np.float32)
-  t_4k_batch = _timed_feedback_chain(e2e, 8, full4k_b, lowres_b) / bt
+  t_4k_batch = timed_feedback_chain(e2e, 8, full4k_b, lowres_b) / bt
 
   fps_4k = 1.0 / t_4k
   gpix = H * W / t_slice / 1e9
