@@ -59,6 +59,11 @@ class DataConfig:
   random_crop: bool = True
   shuffle: bool = True
   data_threads: int = 2
+  # Keep decoded (raw-dtype) images resident after first read — turns a
+  # PNG-decode-bound host (one core feeding a fast chip) into augment-
+  # only work. Off by default: matches the reference's re-decode
+  # behavior and caps memory on big datasets.
+  cache_images: bool = False
   # UnsharpMask synthetic pipeline knobs (scripts/usm/*.sh).
   blur_sigma: float = 4.0
   sharpen: float = 1.0

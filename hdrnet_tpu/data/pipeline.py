@@ -234,7 +234,19 @@ class ImageFilesDataPipeline(DataPipeline):
   def _load(self, spec, rng):
     del rng
     in_path, out_path = spec
-    return images.imread_float(in_path), images.imread_float(out_path)
+    return self._read_float(in_path), self._read_float(out_path)
+
+  def _read_float(self, path):
+    if not self.cfg.cache_images:
+      return images.imread_float(path)
+    cache = self.__dict__.setdefault('_img_cache', {})
+    hit = cache.get(path)
+    if hit is None:
+      arr = images.imread(path)
+      white = 65535.0 if arr.dtype == np.uint16 else 255.0
+      # Cache the raw dtype (1/4 the RAM of f32); convert per use.
+      cache[path] = hit = (arr, white)
+    return native.to_float(hit[0], hit[1])
 
 
 class HDRpDataPipeline(DataPipeline):

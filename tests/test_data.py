@@ -190,6 +190,24 @@ def test_prefetch_epoch_semantics():
   assert ids[:n] != list(range(n)) or ids[n:2 * n] != list(range(n))
 
 
+def test_cache_images(tmp_path, monkeypatch):
+  """cache_images=True decodes each file once and serves identical
+  pixels afterwards (host decode is the bottleneck when one core feeds
+  a fast chip)."""
+  from hdrnet_tpu.data import images as img_mod
+  _write_dataset(tmp_path)
+  calls = []
+  real = img_mod.imread
+  monkeypatch.setattr(img_mod, 'imread',
+                      lambda p, **kw: (calls.append(p), real(p, **kw))[1])
+  pipe = ImageFilesDataPipeline(str(tmp_path), _cfg(cache_images=True))
+  a = next(pipe.batches(seed=0))
+  n_first = len(calls)
+  b = next(pipe.batches(seed=0))
+  assert len(calls) == n_first  # no further decodes
+  np.testing.assert_allclose(a['image_input'], b['image_input'])
+
+
 def test_ll_dataset_generator(tmp_path):
   """scripts/make_ll_dataset.py: layout is the canonical fixture, the
   operator is edge-aware (flat regions invariant, texture boosted), and
