@@ -178,6 +178,29 @@ def main(argv=None):
   else:
     log.info('no fused serving kernel for this config; serve_fn skipped')
 
+  # --- dynamic-size serving function (bucketed): the image is padded
+  # to the bucket containing --fullres and the TRUE size is a traced
+  # int32 (2,) operand — one native executable serves every resolution
+  # inside the bucket (cf. inference.Enhancer.enhance_any). -----------
+  buckets = enh._bucketable(h, w) if enh.use_fused else None
+  if buckets is not None:
+    (h_b, h_min), (w_b, w_min) = buckets
+
+    def serve_any_fn(lowres, padded, hw):
+      return enh._bucketed_forward(lowres, padded, hw, h_b=h_b, w_b=w_b,
+                                   h_min=h_min, w_min=w_min, clip=True)
+
+    in4 = [jax.ShapeDtypeStruct((1, s, s, n_in), jnp.float32),
+           jax.ShapeDtypeStruct((1, h_b, w_b, n_in), jnp.float32),
+           jax.ShapeDtypeStruct((2,), jnp.int32)]
+    exported4 = jexport.export(jax.jit(serve_any_fn))(*in4)
+    write_artifacts(exported4, 'serve_any_fn', in4)
+    log.info('serve_any_fn bucket: %dx%d (serves true sizes down to '
+             '%dx%d)', h_b, w_b, h_min, w_min)
+  else:
+    log.info('no dynamic-size bucket for this config; serve_any_fn '
+             'skipped')
+
   # Serialized default xla::CompileOptions for the native PJRT driver
   # (PJRT_Client_Compile wants this proto; generating it here keeps the
   # C++ side protobuf-free).

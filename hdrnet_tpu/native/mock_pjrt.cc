@@ -99,8 +99,10 @@ PJRT_Error* ClientCompile(PJRT_Client_Compile_Args* args) {
 
 PJRT_Error* BufferFromHostBuffer(
     PJRT_Client_BufferFromHostBuffer_Args* args) {
-  if (args->type != PJRT_Buffer_Type_F32)
-    return new PJRT_Error{"mock plugin supports F32 only"};
+  // S32 payloads ride bitwise in the float storage (both 4-byte).
+  if (args->type != PJRT_Buffer_Type_F32 &&
+      args->type != PJRT_Buffer_Type_S32)
+    return new PJRT_Error{"mock plugin supports F32/S32 only"};
   auto* b = new PJRT_Buffer();
   b->dims.assign(args->dims, args->dims + args->num_dims);
   int64_t n = 1;

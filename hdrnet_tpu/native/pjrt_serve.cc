@@ -122,6 +122,7 @@ void DestroyBuffer(PJRT_Buffer* b) {
 
 struct TensorSpec {
   std::vector<int64_t> dims;
+  bool is_int = false;  // int32 vs float32 (both 4-byte elements)
   int64_t NumElements() const {
     int64_t n = 1;
     for (int64_t d : dims) n *= d;
@@ -153,9 +154,16 @@ std::vector<TensorSpec> ParseSpecs(const std::string& json,
     std::string tok;
     while (std::getline(ss, tok, ',')) spec.dims.push_back(std::stoll(tok));
     size_t dt_at = json.find("\"dtype\"", s_close);
-    if (dt_at != std::string::npos && dt_at < end &&
-        json.find("float32", dt_at) != dt_at + 10)
-      Die("only float32 tensors supported; edit the export");
+    if (dt_at != std::string::npos && dt_at < end) {
+      if (json.find("float32", dt_at) == dt_at + 10) {
+        spec.is_int = false;
+      } else if (json.find("int32", dt_at) == dt_at + 10) {
+        // e.g. the traced true-size operand of serve_any_fn exports.
+        spec.is_int = true;
+      } else {
+        Die("only float32/int32 tensors supported; edit the export");
+      }
+    }
     specs.push_back(spec);
     pos = s_close;
   }
@@ -356,6 +364,8 @@ int main(int argc, char** argv) {
   // ---- upload inputs ---------------------------------------------------
   if (!input_paths.empty() && input_paths.size() != in_specs.size())
     Die("--inputs count does not match manifest input count");
+  // Elements are 4 bytes for both dtypes; int32 payloads live bitwise
+  // in the float storage.
   std::vector<std::vector<float>> host_inputs;
   for (size_t i = 0; i < in_specs.size(); ++i) {
     std::vector<float> buf(in_specs[i].NumElements());
@@ -366,6 +376,24 @@ int main(int argc, char** argv) {
              buf.size() * sizeof(float));
       if (f.gcount() != (std::streamsize)(buf.size() * sizeof(float)))
         Die("input file " + input_paths[i] + " too small");
+    } else if (in_specs[i].is_int) {
+      // Synthetic value for an integer operand: only the serve_any_fn
+      // convention is guessable — a 2-element true-(H, W) scalar pair,
+      // defaulted to the padded extent of the largest rank-4 float
+      // input (i.e. "the whole padded frame is valid").
+      const TensorSpec* img = nullptr;
+      for (const auto& s : in_specs)
+        if (!s.is_int && s.dims.size() == 4 &&
+            (!img || s.NumElements() > img->NumElements()))
+          img = &s;
+      if (in_specs[i].NumElements() != 2 || img == nullptr)
+        Die("integer input " + std::to_string(i) +
+            " needs explicit --inputs data");
+      int32_t hw[2] = {(int32_t)img->dims[1], (int32_t)img->dims[2]};
+      std::memcpy(buf.data(), hw, sizeof(hw));
+      std::fprintf(stderr,
+                   "int32 input %zu defaulted to full padded extent "
+                   "(%d, %d)\n", i, hw[0], hw[1]);
     } else {
       // Synthetic photo-like input: smooth gradients, [0, 1].
       int64_t n = (int64_t)buf.size();
@@ -383,7 +411,8 @@ int main(int argc, char** argv) {
     args.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
     args.client = client;
     args.data = host_inputs[i].data();
-    args.type = PJRT_Buffer_Type_F32;
+    args.type = in_specs[i].is_int ? PJRT_Buffer_Type_S32
+                                   : PJRT_Buffer_Type_F32;
     args.dims = in_specs[i].dims.data();
     args.num_dims = in_specs[i].dims.size();
     args.host_buffer_semantics =
@@ -407,7 +436,10 @@ int main(int argc, char** argv) {
   int chain_idx = -1;
   if (allow_chain)
     for (size_t i = 0; i < in_specs.size(); ++i)
-    if (in_specs[i].dims == out_specs[0].dims) { chain_idx = (int)i; break; }
+      if (!in_specs[i].is_int && in_specs[i].dims == out_specs[0].dims) {
+        chain_idx = (int)i;
+        break;
+      }
   std::fprintf(stderr, chain_idx >= 0
                            ? "chaining output 0 -> input %d\n"
                            : "no chainable input; timing includes a "

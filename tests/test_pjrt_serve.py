@@ -84,6 +84,31 @@ def test_execute_readback_loop(binary, mock_plugin, tmp_path):
   np.testing.assert_allclose(out, expect, atol=1e-5)
 
 
+def test_int32_input_serve_any_convention(binary, mock_plugin, tmp_path):
+  """serve_any_fn exports carry a (2,) int32 true-size operand; without
+  --inputs the driver defaults it to the padded extent of the largest
+  rank-4 float input, uploads it as S32, and never chains through it."""
+  mod = tmp_path / 'm.mlir'
+  mod.write_text('module {}')
+  (tmp_path / 'compile_options.pb').write_bytes(b'')
+  manifest = {
+      'name': 'm',
+      'inputs': [{'shape': [1, 8, 8, 3], 'dtype': 'float32'},
+                 {'shape': [2], 'dtype': 'int32'}],
+      'outputs': [{'shape': [1, 8, 8, 3], 'dtype': 'float32'}],
+  }
+  (tmp_path / 'm.manifest.json').write_text(json.dumps(manifest))
+  r = subprocess.run(
+      [binary, str(mod), '--plugin', mock_plugin, '--burn', '1',
+       '--iters', '2'],
+      capture_output=True, text=True)
+  assert r.returncode == 0, r.stderr
+  assert 'int32 input 1 defaulted to full padded extent (8, 8)' in r.stderr
+  assert 'chaining output 0 -> input 0' in r.stderr
+  report = json.loads(r.stdout.strip())
+  assert report['iters'] == 2
+
+
 def test_execute_explicit_input_and_no_chain(binary, mock_plugin,
                                              tmp_path):
   """--chain 0 re-runs pristine inputs every iteration: the output must
