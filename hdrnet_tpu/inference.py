@@ -300,53 +300,102 @@ class Enhancer:
     scalar distinguishing it — no collective in the full-res path at
     all. For 4K+/full-sensor frames that exceed one chip's latency
     budget, throughput scales linearly over ICI.
+
+    Pyramid models (HDRNetGaussianPyrNN): every level's fused kernel
+    runs H-sharded the same way (per-level traced offsets); the
+    downsample and coarse-to-fine upsample-add happen between kernels
+    on sharded arrays in jit-land, where XLA inserts the 1-row halo
+    exchanges the bilinear resamplings need over ICI.
     """
-    from jax.sharding import PartitionSpec as P
+    from jax.sharding import NamedSharding, PartitionSpec as P
     from hdrnet_tpu.models.hdrnet import CoefficientBackbone
 
-    assert not isinstance(self.model, HDRNetGaussianPyrNN), (
-        'sharded path covers the single-grid models')
     cfg, model = self.model_cfg, self.model
     axes = mesh.axis_names
     n_dev = int(np.prod(list(mesh.shape.values())))
     b, h, w, _ = fullres.shape
-    assert h % n_dev == 0, (h, n_dev)
-    h_local = h // n_dev
+    n_scales = (model.n_scales
+                if isinstance(model, HDRNetGaussianPyrNN) else 1)
+    assert h % (n_dev * 2 ** (n_scales - 1)) == 0, (h, n_dev, n_scales)
 
     bb_vars = {'params': self.variables['params']['coefficients']}
     if 'coefficients' in self.variables.get('batch_stats', {}):
       bb_vars['batch_stats'] = self.variables['batch_stats'][
           'coefficients']
     backbone = CoefficientBackbone(cfg, model.n_out, model.n_in_tot)
-    mode, gparams = self._guide_args()[0]
+    guide_args = self._guide_args()
     interpret = self.interpret
 
-    def shard_fn(packed, img_cf, *gp):
-      idx = jax.lax.axis_index(axes[0])
-      if len(axes) > 1:
-        for ax in axes[1:]:
-          idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
-      y_off = idx * h_local
-      return pk.enhance_fused(packed, img_cf, gp, mode, model.n_out,
-                              cfg.n_in, True, interpret=interpret,
-                              y_offset=y_off, h_total=h, w_total=w)
+    def make_shard_fn(mode, h_lvl, w_lvl):
+      h_local = h_lvl // n_dev
+
+      def shard_fn(packed, img_cf, *gp):
+        idx = jax.lax.axis_index(axes[0])
+        if len(axes) > 1:
+          for ax in axes[1:]:
+            idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+        y_off = idx * h_local
+        return pk.enhance_fused(packed, img_cf, gp, mode, 3 if
+                                n_scales > 1 else model.n_out,
+                                cfg.n_in, True, interpret=interpret,
+                                y_offset=y_off, h_total=h_lvl,
+                                w_total=w_lvl)
+      return shard_fn
 
     img_spec = P(None, None, axes, None)  # (B, C, H/n, W)
     rep = P()
 
-    @jax.jit
-    def run(lowres, fullres, gparams):
-      grid = backbone.apply(bb_vars, lowres)
-      b_, gh, gw, gd, no, ni1 = grid.shape
-      packed = grid.reshape(b_, gh, gw, gd, no * ni1)
-      img_cf = jnp.transpose(fullres, (0, 3, 1, 2))
+    def level_kernel(packed, img, mode, h_lvl, w_lvl, gparams):
+      """One H-sharded fused kernel call (channels-last in/out)."""
+      img_cf = jnp.transpose(img, (0, 3, 1, 2))
       # check_vma=False: pallas_call out_shapes don't carry varying-
       # mesh-axis metadata.
       out_cf = jax.shard_map(
-          shard_fn, mesh=mesh,
+          make_shard_fn(mode, h_lvl, w_lvl), mesh=mesh,
           in_specs=(rep, img_spec) + tuple(rep for _ in gparams),
           out_specs=img_spec, check_vma=False)(packed, img_cf, *gparams)
-      out = jnp.transpose(out_cf, (0, 2, 3, 1))
-      return jnp.clip(out, 0.0, 1.0) if clip else out
+      return jnp.transpose(out_cf, (0, 2, 3, 1))
 
-    return run(lowres, fullres, gparams)
+    img_sharding = NamedSharding(mesh, P(None, axes, None, None))
+
+    @jax.jit
+    def run(lowres, fullres, all_gparams):
+      grid = backbone.apply(bb_vars, lowres)
+      b_, gh, gw, gd, no, ni1 = grid.shape
+
+      if n_scales == 1:
+        packed = grid.reshape(b_, gh, gw, gd, no * ni1)
+        mode, gparams = guide_args[0]
+        out = level_kernel(packed, fullres, mode, h, w, all_gparams[0])
+        return jnp.clip(out, 0.0, 1.0) if clip else out
+
+      # Pyramid: build the sharded image pyramid (XLA halo-exchanges
+      # the bilinear downsample), slice-apply each level sharded, then
+      # upsample-add coarse-to-fine.
+      levels = [fullres]
+      for _ in range(n_scales - 1):
+        hh, ww = levels[-1].shape[1:3]
+        nxt = resize_bilinear(levels[-1], (hh // 2, ww // 2),
+                              align_corners=True)
+        levels.append(jax.lax.with_sharding_constraint(nxt, img_sharding))
+      current = None
+      for il, lvl in enumerate(levels[::-1]):
+        # Grid channel blocks are ordered coarsest-first (same indexing
+        # as _fused_forward); guide params are per-LEVEL (finest first).
+        level = n_scales - 1 - il
+        mode, _ = guide_args[level]
+        sub = grid[:, :, :, :, il * 3:(il + 1) * 3, :]
+        packed = sub.reshape(b_, gh, gw, gd, 3 * ni1)
+        out = level_kernel(packed, lvl, mode, lvl.shape[1], lvl.shape[2],
+                           all_gparams[level])
+        if current is None:
+          current = out
+        else:
+          up = resize_bilinear(current, out.shape[1:3],
+                               align_corners=True)
+          current = jax.lax.with_sharding_constraint(
+              up, img_sharding) + out
+      return jnp.clip(current, 0.0, 1.0) if clip else current
+
+    all_gparams = [gp for _, gp in guide_args]
+    return run(lowres, fullres, all_gparams)

@@ -47,6 +47,26 @@ def test_spatially_sharded_inference_matches(cpu_devices):
   np.testing.assert_allclose(np.asarray(got), np.asarray(got1), atol=2e-5)
 
 
+def test_sharded_pyramid_inference_matches(cpu_devices):
+  """GaussianPyrNN giant-image serving: every level's fused kernel runs
+  H-sharded; the pyramid build and upsample-add run on sharded arrays
+  in jit-land (XLA halo-exchanges the bilinear resamplings)."""
+  cfg = ModelConfig(model_name='HDRNetGaussianPyrNN', net_input_size=64,
+                    spatial_bin=4, luma_bins=4, guide_complexity=4)
+  model = make_model(cfg)
+  rng = np.random.RandomState(2)
+  lowres = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+  fullres = jnp.asarray(rng.rand(1, 256, 256, 3), jnp.float32)
+  variables = model.init(jax.random.PRNGKey(0), lowres, fullres,
+                         train=True)
+  want = model.apply(variables, lowres, fullres)
+
+  enh = Enhancer(config=cfg, variables=variables, interpret=True)
+  mesh = pm.make_mesh((2, 1), jax.devices()[:2])
+  got = enh.enhance_sharded(lowres, fullres, mesh, clip=False)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
 def test_spatial_mesh_training_matches_pure_dp(cpu_devices, tmp_path):
   """The production train loop on a (4,2) ('data','spatial') mesh must
   produce the same params as pure DP (8,1): full-res H sharding is
