@@ -110,6 +110,50 @@ def test_run_cli_mixed_sizes(dataset, tmp_path):
   assert sorted(os.listdir(out2)) == ['p0.png']
 
 
+def test_export_cli_roundtrip(dataset, tmp_path):
+  """export CLI end-to-end on CPU: artifacts exist, the manifest
+  matches, and the serialized enhance_fn replays through jax.export
+  with outputs identical to the live model."""
+  import json
+
+  import jax
+  import jax.numpy as jnp
+  from jax import export as jexport
+
+  from hdrnet_tpu.bin.export import main as export_main
+  from hdrnet_tpu.config import Config
+  from hdrnet_tpu.models import make_model
+  from hdrnet_tpu.training.loop import train
+
+  ckpt = str(tmp_path / 'ckpt')
+  state = train(_config(2), ckpt, str(dataset))
+  export_main([ckpt, '--fullres', '96', '128'])
+
+  for name in ('coefficients_fn', 'enhance_fn'):
+    for ext in ('.stablehlo', '.mlir', '.manifest.json'):
+      assert os.path.exists(os.path.join(ckpt, name + ext)), name + ext
+  assert os.path.exists(os.path.join(ckpt, 'compile_options.pb'))
+  assert os.path.exists(os.path.join(ckpt, 'guide_ccm_f32_3x4.bin'))
+
+  manifest = json.load(open(os.path.join(ckpt, 'enhance_fn.manifest.json')))
+  assert manifest['inputs'][1]['shape'] == [1, 96, 128, 3]
+  assert manifest['outputs'][0]['shape'] == [1, 96, 128, 3]
+
+  with open(os.path.join(ckpt, 'enhance_fn.stablehlo'), 'rb') as f:
+    reloaded = jexport.deserialize(f.read())
+  rng = np.random.RandomState(0)
+  lowres = jnp.asarray(rng.rand(1, 32, 32, 3), jnp.float32)
+  fullres = jnp.asarray(rng.rand(1, 96, 128, 3), jnp.float32)
+  got = reloaded.call(lowres, fullres)
+
+  config = Config.load(ckpt)
+  model = make_model(config.model)
+  variables = {'params': state.params}
+  want = jnp.clip(model.apply(variables, lowres, fullres), 0.0, 1.0)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             atol=1e-6)
+
+
 def test_evaluate_cli(dataset, tmp_path, capsys):
   """Standalone evaluate CLI: restores the checkpoint via the
   eval_shape template and reports mean PSNR / L2 as JSON."""
