@@ -164,6 +164,13 @@ class _Cfg:
   clip_output: bool = False
   # Depth-contraction strategy ('unroll' | 'loop'); see default_z_strategy.
   z_strategy: str = 'unroll'
+  # Row-strip inner loop (0 = off): the kernel fori_loops over
+  # `strip`-row horizontal strips of the tile, with the x-contraction
+  # rows hoisted to tile level. Working set per strip is a handful of
+  # vregs, so operands stay register-resident instead of sweeping
+  # full-tile planes through VMEM between ops; the loop body also
+  # compiles once instead of TH/8 times.
+  strip: int = 0
   # Bucketed dynamic-size serving: the physical arrays are padded to a
   # static bucket shape, while the TRUE logical (H, W) arrives as traced
   # scalars in off_ref[2:4] and the pixel->grid scale is computed
@@ -276,7 +283,16 @@ def _resolve_z_strategy(z_strategy):
   return z_strategy
 
 
-def _accumulate_sliced(cfg, lg_ref, wy, wx, guide, *, derivative=False):
+# Accumulation-order variant for the unroll strategy, picked by
+# measurement (scripts/kernel_tuning.py --variants): 'chain' = one
+# serial FMA chain over the gd bins per (da, c); 'split2' = two
+# half-length chains combined at the end (shorter dependence chains,
+# one extra add per (da, c)).
+_ACCUM_VARIANT = 'chain'
+
+
+def _accumulate_sliced(cfg, lg_ref, wy, wx, guide, *, derivative=False,
+                       rows_list=None):
   """Separable one-hot trilinear contraction.
 
     sliced[c] = sum_da wy[da] * ( sum_k wz[k] * rows_da[k*C + c] )
@@ -285,7 +301,8 @@ def _accumulate_sliced(cfg, lg_ref, wy, wx, guide, *, derivative=False):
   expensive full-plane FMAs are O(NCY * C * gd) instead of
   O(NCY * NCX * gd * C). If `derivative`, a second set of planes
   (z-derivative slicing, for the guide VJP) is accumulated sharing the
-  same rows.
+  same rows. `rows_list` optionally supplies the per-y-cell
+  x-contractions precomputed at tile level (the strip loop hoists them).
   """
   if cfg.z_strategy == 'loop':
     return _accumulate_sliced_loop(cfg, lg_ref, wy, wx, guide,
@@ -294,21 +311,34 @@ def _accumulate_sliced(cfg, lg_ref, wy, wx, guide, *, derivative=False):
   dwz_list = (_depth_onehot_weights(guide, cfg.gd, derivative=True)
               if derivative else None)
   c_n = cfg.channels
+
+  def contract(ws, rows, c):
+    """sum_k ws[k] * rows[k*C + c] with the configured chain shape."""
+    terms = [(ws[k], rows[k * c_n + c:k * c_n + c + 1, :])
+             for k in range(cfg.gd)]
+    if _ACCUM_VARIANT == 'split2':
+      half = cfg.gd // 2
+      def chain(ts):
+        u = ts[0][0] * ts[0][1]
+        for w, r in ts[1:]:
+          u = u + w * r
+        return u
+      return chain(terms[:half]) + chain(terms[half:])
+    u = terms[0][0] * terms[0][1]
+    for w, r in terms[1:]:
+      u = u + w * r
+    return u
+
   sliced = [jnp.zeros((cfg.th, cfg.tw), jnp.float32) for _ in range(c_n)]
   sliced_dz = ([jnp.zeros((cfg.th, cfg.tw), jnp.float32)
                 for _ in range(c_n)] if dwz_list is not None else None)
   for da in range(cfg.ncy):
-    rows = _x_rows(cfg, lg_ref, wx, da)
+    rows = (rows_list[da] if rows_list is not None
+            else _x_rows(cfg, lg_ref, wx, da))
     for c in range(c_n):
-      u = wz_list[0] * rows[c:c + 1, :]
-      for k in range(1, cfg.gd):
-        u = u + wz_list[k] * rows[k * c_n + c:k * c_n + c + 1, :]
-      sliced[c] = sliced[c] + wy[da] * u
+      sliced[c] = sliced[c] + wy[da] * contract(wz_list, rows, c)
       if dwz_list is not None:
-        v = dwz_list[0] * rows[c:c + 1, :]
-        for k in range(1, cfg.gd):
-          v = v + dwz_list[k] * rows[k * c_n + c:k * c_n + c + 1, :]
-        sliced_dz[c] = sliced_dz[c] + wy[da] * v
+        sliced_dz[c] = sliced_dz[c] + wy[da] * contract(dwz_list, rows, c)
   if dwz_list is not None:
     return sliced, sliced_dz
   return sliced
@@ -425,6 +455,29 @@ def _nn_guide(cfg, img, w1_ref, w2_ref):
   return jax.nn.sigmoid(acc)
 
 
+def _strip_setup(cfg, a0_ref, b0_ref, off_ref, lg_ref, ty, tx):
+  """Tile-level prelude for the strip-loop kernels: the x one-hot
+  weights and x-contraction rows are shared by every strip of the tile
+  and hoisted here; the loop body only builds its own (strip, 1) y
+  weights and (strip, TW) depth weights."""
+  if cfg.dynamic_size:
+    sy = cfg.gh / _f32(off_ref[2])
+    sx = cfg.gw / _f32(off_ref[3])
+  else:
+    sy, sx = cfg.sy, cfg.sx
+  wx = _spatial_onehot_weights(tx * cfg.tw + off_ref[1], cfg.tw, sx,
+                               b0_ref[tx], cfg.ncx, (1, cfg.tw), 1)
+  rows_list = [_x_rows(cfg, lg_ref, wx, da) for da in range(cfg.ncy)]
+  scfg = dataclasses.replace(cfg, th=cfg.strip)
+  y_base = ty * cfg.th + off_ref[0]
+  return scfg, wx, rows_list, a0_ref[ty], y_base, sy
+
+
+def _strip_wy(cfg, sy, y_base, y0, a0):
+  return _spatial_onehot_weights(y_base + y0, cfg.th, sy, a0, cfg.ncy,
+                                 (cfg.th, 1), 0)
+
+
 def _fwd_kernel(cfg, a0_ref, b0_ref, off_ref, lg_ref, guide_ref, *rest):
   if cfg.n_in:
     img_ref, out_ref = rest
@@ -432,20 +485,43 @@ def _fwd_kernel(cfg, a0_ref, b0_ref, off_ref, lg_ref, guide_ref, *rest):
     (out_ref,) = rest
   ty = pl.program_id(1)
   tx = pl.program_id(2)
-  wy, wx = _make_wy_wx(cfg, a0_ref[ty], b0_ref[tx], off_ref, ty, tx)
-  sliced = _accumulate_sliced(cfg, lg_ref, wy, wx, guide_ref[0])
 
-  if cfg.n_in:
-    img = [img_ref[0, j] for j in range(cfg.n_in)]
-    _apply_epilogue(cfg, sliced, img, out_ref)
-  else:
-    for c in range(cfg.channels):
-      out_ref[0, c] = sliced[c]
+  if not cfg.strip:
+    wy, wx = _make_wy_wx(cfg, a0_ref[ty], b0_ref[tx], off_ref, ty, tx)
+    sliced = _accumulate_sliced(cfg, lg_ref, wy, wx, guide_ref[0])
+    if cfg.n_in:
+      img = [img_ref[0, j] for j in range(cfg.n_in)]
+      _apply_epilogue(cfg, sliced, img, out_ref)
+    else:
+      for c in range(cfg.channels):
+        out_ref[0, c] = sliced[c]
+    return
+
+  scfg, _, rows_list, a0, y_base, sy = _strip_setup(
+      cfg, a0_ref, b0_ref, off_ref, lg_ref, ty, tx)
+
+  def body(s, carry):
+    y0 = s * cfg.strip
+    wy = _strip_wy(scfg, sy, y_base, y0, a0)
+    guide = guide_ref[0, pl.ds(y0, cfg.strip), :]
+    sliced = _accumulate_sliced(scfg, lg_ref, wy, None, guide,
+                                rows_list=rows_list)
+    if cfg.n_in:
+      img = [img_ref[0, j, pl.ds(y0, cfg.strip), :]
+             for j in range(cfg.n_in)]
+      _apply_epilogue(scfg, sliced, img, out_ref, row_start=y0)
+    else:
+      for c in range(cfg.channels):
+        out_ref[0, c, pl.ds(y0, cfg.strip), :] = sliced[c]
+    return carry
+
+  jax.lax.fori_loop(0, cfg.th // cfg.strip, body, 0)
 
 
-def _apply_epilogue(cfg, sliced, img, out_ref):
+def _apply_epilogue(cfg, sliced, img, out_ref, row_start=None):
   """out[i] = sum_j sliced[i, j] * img[j] + offset
-  (bilateral_slice_apply.cc:72-77)."""
+  (bilateral_slice_apply.cc:72-77). `row_start` writes a `cfg.th`-row
+  horizontal strip of the output tile (the strip-loop path)."""
   ni1 = cfg.ni_tot
   for i in range(cfg.n_out):
     acc = (sliced[i * ni1 + cfg.n_in] if cfg.has_offset
@@ -454,7 +530,10 @@ def _apply_epilogue(cfg, sliced, img, out_ref):
       acc = acc + sliced[i * ni1 + j] * img[j]
     if cfg.clip_output:
       acc = jnp.clip(acc, 0.0, 1.0)
-    out_ref[0, i] = acc
+    if row_start is None:
+      out_ref[0, i] = acc
+    else:
+      out_ref[0, i, pl.ds(row_start, cfg.th), :] = acc
 
 
 def _fused_fwd_kernel(cfg, a0_ref, b0_ref, off_ref, lg_ref, img_ref, *rest):
@@ -463,21 +542,48 @@ def _fused_fwd_kernel(cfg, a0_ref, b0_ref, off_ref, lg_ref, img_ref, *rest):
   Eliminates the full-res guide's HBM round trip and XLA overhead —
   the TPU analog of the reference's free in-shader guide
   (std.frag:32-53). Inference fast path (no VJP).
+
+  With cfg.strip set, the tile is processed in `strip`-row horizontal
+  strips by a fori_loop: the x-contraction rows (shared by every strip)
+  are hoisted to tile level, and all per-strip operands fit in vector
+  registers instead of sweeping full-tile planes through VMEM between
+  ops. Same arithmetic, one loop-body compile instead of straight-line
+  code over the whole tile.
   """
   out_ref = rest[-1]
   params = rest[:-1]
   ty = pl.program_id(1)
   tx = pl.program_id(2)
-  img = [img_ref[0, j] for j in range(cfg.n_in)]
-  if cfg.guide_mode == 'curves':
-    guide = _curves_guide(cfg, img, *params)
-  elif cfg.guide_mode == 'nn':
-    guide = _nn_guide(cfg, img, *params)
-  else:
-    raise ValueError(cfg.guide_mode)
-  wy, wx = _make_wy_wx(cfg, a0_ref[ty], b0_ref[tx], off_ref, ty, tx)
-  sliced = _accumulate_sliced(cfg, lg_ref, wy, wx, guide)
-  _apply_epilogue(cfg, sliced, img, out_ref)
+
+  def guide_of(c, img):
+    if c.guide_mode == 'curves':
+      return _curves_guide(c, img, *params)
+    elif c.guide_mode == 'nn':
+      return _nn_guide(c, img, *params)
+    raise ValueError(c.guide_mode)
+
+  if not cfg.strip:
+    img = [img_ref[0, j] for j in range(cfg.n_in)]
+    guide = guide_of(cfg, img)
+    wy, wx = _make_wy_wx(cfg, a0_ref[ty], b0_ref[tx], off_ref, ty, tx)
+    sliced = _accumulate_sliced(cfg, lg_ref, wy, wx, guide)
+    _apply_epilogue(cfg, sliced, img, out_ref)
+    return
+
+  scfg, _, rows_list, a0, y_base, sy = _strip_setup(
+      cfg, a0_ref, b0_ref, off_ref, lg_ref, ty, tx)
+
+  def body(s, carry):
+    y0 = s * cfg.strip
+    img = [img_ref[0, j, pl.ds(y0, cfg.strip), :]
+           for j in range(cfg.n_in)]
+    wy = _strip_wy(scfg, sy, y_base, y0, a0)
+    sliced = _accumulate_sliced(scfg, lg_ref, wy, None,
+                                guide_of(scfg, img), rows_list=rows_list)
+    _apply_epilogue(scfg, sliced, img, out_ref, row_start=y0)
+    return carry
+
+  jax.lax.fori_loop(0, cfg.th // cfg.strip, body, 0)
 
 
 def _pix_bwd_kernel(cfg, a0_ref, b0_ref, off_ref, lg_ref, guide_ref, *rest):
@@ -488,28 +594,59 @@ def _pix_bwd_kernel(cfg, a0_ref, b0_ref, off_ref, lg_ref, guide_ref, *rest):
     ct_ref, dguide_ref = rest
   ty = pl.program_id(1)
   tx = pl.program_id(2)
-  wy, wx = _make_wy_wx(cfg, a0_ref[ty], b0_ref[tx], off_ref, ty, tx)
-  sliced, sliced_dz = _accumulate_sliced(cfg, lg_ref, wy, wx,
-                                         guide_ref[0], derivative=True)
-
   ni1 = cfg.ni_tot
-  dguide = jnp.zeros((cfg.th, cfg.tw), jnp.float32)
-  for i in range(cfg.n_out):
-    ct_i = ct_ref[0, i]
-    # d/d(guide): sum_j sliced_dz[i, j] * in_ext[j]
-    gacc = (sliced_dz[i * ni1 + cfg.n_in] if cfg.has_offset
-            else jnp.zeros((cfg.th, cfg.tw), jnp.float32))
-    for j in range(cfg.n_in):
-      gacc = gacc + sliced_dz[i * ni1 + j] * img_ref[0, j]
-    dguide = dguide + gacc * ct_i
-  dguide_ref[0] = dguide
 
-  if cfg.n_in:
-    for j in range(cfg.n_in):
-      acc = jnp.zeros((cfg.th, cfg.tw), jnp.float32)
-      for i in range(cfg.n_out):
-        acc = acc + sliced[i * ni1 + j] * ct_ref[0, i]
-      dimg_ref[0, j] = acc
+  def emit(c, sliced, sliced_dz, img, ct, y0):
+    """Shared epilogue on (c.th, c.tw) planes (whole tile or a strip)."""
+    dguide = jnp.zeros((c.th, c.tw), jnp.float32)
+    for i in range(c.n_out):
+      # d/d(guide): sum_j sliced_dz[i, j] * in_ext[j]
+      gacc = (sliced_dz[i * ni1 + c.n_in] if c.has_offset
+              else jnp.zeros((c.th, c.tw), jnp.float32))
+      for j in range(c.n_in):
+        gacc = gacc + sliced_dz[i * ni1 + j] * img[j]
+      dguide = dguide + gacc * ct[i]
+    if y0 is None:
+      dguide_ref[0] = dguide
+    else:
+      dguide_ref[0, pl.ds(y0, c.th), :] = dguide
+    if c.n_in:
+      for j in range(c.n_in):
+        acc = jnp.zeros((c.th, c.tw), jnp.float32)
+        for i in range(c.n_out):
+          acc = acc + sliced[i * ni1 + j] * ct[i]
+        if y0 is None:
+          dimg_ref[0, j] = acc
+        else:
+          dimg_ref[0, j, pl.ds(y0, c.th), :] = acc
+
+  if not cfg.strip:
+    wy, wx = _make_wy_wx(cfg, a0_ref[ty], b0_ref[tx], off_ref, ty, tx)
+    sliced, sliced_dz = _accumulate_sliced(cfg, lg_ref, wy, wx,
+                                           guide_ref[0], derivative=True)
+    img = ([img_ref[0, j] for j in range(cfg.n_in)] if cfg.n_in else [])
+    ct = [ct_ref[0, i] for i in range(cfg.n_out)]
+    emit(cfg, sliced, sliced_dz, img, ct, None)
+    return
+
+  scfg, _, rows_list, a0, y_base, sy = _strip_setup(
+      cfg, a0_ref, b0_ref, off_ref, lg_ref, ty, tx)
+
+  def body(s, carry):
+    y0 = s * cfg.strip
+    wy = _strip_wy(scfg, sy, y_base, y0, a0)
+    guide = guide_ref[0, pl.ds(y0, cfg.strip), :]
+    sliced, sliced_dz = _accumulate_sliced(scfg, lg_ref, wy, None, guide,
+                                           derivative=True,
+                                           rows_list=rows_list)
+    img = ([img_ref[0, j, pl.ds(y0, cfg.strip), :]
+            for j in range(cfg.n_in)] if cfg.n_in else [])
+    ct = [ct_ref[0, i, pl.ds(y0, cfg.strip), :]
+          for i in range(cfg.n_out)]
+    emit(scfg, sliced, sliced_dz, img, ct, y0)
+    return carry
+
+  jax.lax.fori_loop(0, cfg.th // cfg.strip, body, 0)
 
 
 def _grid_bwd_kernel(cfg, a0_ref, b0_ref, off_ref, guide_ref, *rest):
@@ -786,6 +923,21 @@ def _cfg_from(grid5, yp, xp, h, w, n_out, n_in, has_offset,
               z_strategy=_resolve_z_strategy(z_strategy))
 
 
+# Default strip height, picked by measurement (scripts/kernel_tuning.py
+# on one v5e at 4K): a 32-row strip loop runs ~13% faster than the
+# straight-line kernel (operands stay vreg-resident within a strip) and
+# compiles no slower (the loop body is compiled once).
+_DEFAULT_STRIP = 32
+
+
+def _auto_strip(cfg):
+  """Applies the measured strip default (unroll contraction only; the
+  'loop' z-strategy already bounds its code size and VMEM pressure)."""
+  if cfg.z_strategy != 'unroll' or cfg.th % _DEFAULT_STRIP:
+    return cfg
+  return dataclasses.replace(cfg, strip=_DEFAULT_STRIP)
+
+
 def _make_specs(cfg, nty, ntx):
   # NB: with PrefetchScalarGridSpec, index_map receives the scalar-prefetch
   # refs appended after the grid indices — swallow them with *_.
@@ -811,8 +963,8 @@ def slice_apply_fwd(grid5, guide, image_cf, n_out, n_in, has_offset,
   b, h, w = guide.shape
   yp, xp, lg, a0, b0, h_pad, w_pad = _common_setup(grid5, guide, h, w)
   offs = jnp.zeros((4,), jnp.int32)
-  cfg = _cfg_from(grid5, yp, xp, h, w, n_out, n_in, has_offset,
-                  z_strategy)
+  cfg = _auto_strip(_cfg_from(grid5, yp, xp, h, w, n_out, n_in,
+                              has_offset, z_strategy))
   lg_spec, guide_spec, chan_spec = _make_specs(cfg, yp.n_tiles, xp.n_tiles)
 
   guide_p = _pad_hw(guide, h_pad, w_pad)
@@ -840,7 +992,7 @@ def enhance_fused(grid5, image_cf, guide_params, guide_mode, n_out, n_in,
                   has_offset=True, interpret=False, y_offset=None,
                   x_offset=None, h_total=None, w_total=None,
                   clip_output=False, z_strategy=None, h_true=None,
-                  w_true=None, h_min=None, w_min=None):
+                  w_true=None, h_min=None, w_min=None, strip=None):
   """Fused guide + slice + apply forward (inference fast path).
 
   grid5 (B,gh,gw,gd,C) packed; image_cf (B,n_in,H,W) channel-first;
@@ -889,6 +1041,12 @@ def enhance_fused(grid5, image_cf, guide_params, guide_mode, n_out, n_in,
     cfg = dataclasses.replace(cfg, dynamic_size=True)
   if clip_output:
     cfg = dataclasses.replace(cfg, clip_output=True)
+  if cfg.z_strategy != 'loop':
+    if strip is None:  # auto: the measured default
+      cfg = _auto_strip(cfg)
+    elif strip:
+      assert cfg.th % strip == 0, (cfg.th, strip)
+      cfg = dataclasses.replace(cfg, strip=strip)
   if guide_mode == 'curves':
     n_pts = guide_params[1].shape[1]
     cfg = dataclasses.replace(cfg, guide_mode='curves', n_pts=n_pts)
@@ -1029,8 +1187,8 @@ def slice_apply_pix_bwd(grid5, guide, image_cf, ct_cf, n_out, n_in,
   b, h, w = guide.shape
   yp, xp, lg, a0, b0, h_pad, w_pad = _common_setup(grid5, guide, h, w)
   offs = jnp.zeros((4,), jnp.int32)
-  cfg = _cfg_from(grid5, yp, xp, h, w, n_out, n_in, has_offset,
-                  z_strategy)
+  cfg = _auto_strip(_cfg_from(grid5, yp, xp, h, w, n_out, n_in,
+                              has_offset, z_strategy))
   lg_spec, guide_spec, chan_spec = _make_specs(cfg, yp.n_tiles, xp.n_tiles)
 
   guide_p = _pad_hw(guide, h_pad, w_pad)

@@ -23,6 +23,12 @@ def main():
   p.add_argument('--tiles', type=str, default=None,
                  help='semicolon list of THxTW overrides, e.g. '
                       '"64x128;128x256;default"')
+  p.add_argument('--variants', type=str, default=None,
+                 help='semicolon list of accumulation variants '
+                      '(chain;split2), timed at the default tile')
+  p.add_argument('--strips', type=str, default='0',
+                 help='semicolon list of strip-loop row counts '
+                      '(0 = straight-line kernel)')
   args = p.parse_args()
 
   import jax
@@ -52,9 +58,19 @@ def main():
               (256, 512)]
 
   n = args.iters
-  for combo in combos:
-    pk._TILE_OVERRIDE = combo
-    try:
+  variants = (args.variants.split(';') if args.variants
+              else [pk._ACCUM_VARIANT])
+  strips = [int(s) for s in args.strips.split(';')]
+  for variant in variants:
+   pk._ACCUM_VARIANT = variant
+   if len(variants) > 1:
+     print(f'-- variant {variant}')
+   for strip in strips:
+    if len(strips) > 1:
+      print(f'-- strip {strip}')
+    for combo in combos:
+     pk._TILE_OVERRIDE = combo
+     try:
       plans = pk.plan_tiles(h, w, 16, 16)
       if plans is None:
         print(f'{combo}: infeasible')
@@ -67,7 +83,7 @@ def main():
       def chain(x):
         for _ in range(n):
           x = pk.enhance_fused(grid, x, gparams, 'curves', 3, 3, True,
-                               clip_output=True)
+                               clip_output=True, strip=strip or None)
         return x.reshape(-1)[0]
 
       t0 = time.time()
@@ -82,9 +98,9 @@ def main():
       gpix = h * w / (ms * 1e-3) / 1e9
       print(f'{desc}  {ms:7.3f} ms  {gpix:5.2f} GPix/s  '
             f'(compile {compile_s:.0f}s)')
-    except Exception as e:  # noqa: BLE001 - tuning harness, keep going
-      print(f'{combo}: FAILED {type(e).__name__}: {e}')
-    finally:
+     except Exception as e:  # noqa: BLE001 - tuning harness, keep going
+      print(f'{combo}: FAILED {type(e).__name__}: {str(e)[:300]}')
+     finally:
       pk._TILE_OVERRIDE = None
 
 
