@@ -154,3 +154,36 @@ def test_tile_planner_windows():
     yp, xp = plans
     assert yp.n_cells <= pk._MAX_CELLS and xp.n_cells <= pk._MAX_CELLS
     assert yp.tile * yp.n_tiles >= h and xp.tile * xp.n_tiles >= w
+
+
+def test_strip_loop_matches_straightline(monkeypatch):
+  """The strip-loop kernel path (vreg-resident row strips, default on
+  TPU for 32-row-divisible tiles) is the same arithmetic as the
+  straight-line kernel, for the forward and both pixelwise VJPs."""
+  grid, guide, image = _args(8, 1, 16, 16, 8, 3, 3, 192, 260)
+  # Quantize the guide so no z tap sits at the smoothed-tent cutoff
+  # (|dx| = 1), where dwz is discontinuous and a 1-ulp reassociation
+  # difference between the two compilations flips isolated pixels.
+  guide = (jnp.round(guide * 64.0) + 0.5) / 64.0
+  rng = np.random.RandomState(9)
+  probe = jnp.asarray(rng.randn(1, 192, 260, 3), jnp.float32)
+
+  def run():
+    def loss(grid, guide, image):
+      out = bilateral_slice_apply(grid, guide, image,
+                                  backend='pallas_interpret')
+      return jnp.vdot(out, probe)
+    out = bilateral_slice_apply(grid, guide, image,
+                                backend='pallas_interpret')
+    return out, jax.grad(loss, argnums=(1, 2))(grid, guide, image)
+
+  monkeypatch.setattr(pk, '_TILE_OVERRIDE', (64, 128))
+  monkeypatch.setattr(pk, '_DEFAULT_STRIP', 7)  # 64 % 7 != 0: strip off
+  base, (dgd_b, di_b) = run()
+  monkeypatch.setattr(pk, '_DEFAULT_STRIP', 8)  # 8 strips per tile
+  got, (dgd_s, di_s) = run()
+  np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=1e-5)
+  np.testing.assert_allclose(np.asarray(dgd_s), np.asarray(dgd_b),
+                             atol=1e-4)
+  np.testing.assert_allclose(np.asarray(di_s), np.asarray(di_b),
+                             atol=1e-4)
