@@ -153,6 +153,15 @@ def main(argv=None):
   t_4k = timed_feedback_chain(e2e, n, full4k, lowres)
   t_1080 = timed_feedback_chain(e2e, n, full1080, lowres)
 
+  # --- full pipeline: downsample computed in-chain from the frame
+  # (the reference's processor does cv::resize per frame inside
+  # process(), processor.cc:110-122 — this is the honest e2e number
+  # when no separate preview stream supplies the lowres input).
+  def e2e_full(f):
+    low = resize_nearest(f, (256, 256))
+    return enh._forward(low, f, clip=True)
+  t_4k_full = timed_feedback_chain(e2e_full, n, full4k)
+
   # --- composite (unfused) model forward, for reference
   def e2e_composite(f, v, l):
     return jnp.clip(model.apply(v, l, f), 0.0, 1.0)
@@ -175,6 +184,8 @@ def main(argv=None):
       f'({gpix:.2f} GPix/s)')
   err(f'end-to-end 4K     : {t_4k * 1e3:7.2f} ms  ({fps_4k:.1f} fps) '
       f'[fused guide+slice+apply kernel]')
+  err(f'end-to-end 4K (incl. downsample): {t_4k_full * 1e3:7.2f} ms  '
+      f'({1.0 / t_4k_full:.1f} fps)')
   err(f'end-to-end 4K (composite): {t_4k_composite * 1e3:7.2f} ms  '
       f'({1.0 / t_4k_composite:.1f} fps)')
   err(f'end-to-end 1080p  : {t_1080 * 1e3:7.2f} ms  '
@@ -196,6 +207,7 @@ def main(argv=None):
               'guide_4k': round(t_guide * 1e3, 3),
               'slice_apply_4k': round(t_slice * 1e3, 3),
               'end_to_end_4k': round(t_4k * 1e3, 3),
+              'end_to_end_4k_incl_downsample': round(t_4k_full * 1e3, 3),
               'end_to_end_4k_composite': round(t_4k_composite * 1e3, 3),
           },
       },

@@ -48,7 +48,7 @@ def build_parser():
   d.add_argument('--data_pipeline', default='ImageFilesDataPipeline',
                  choices=sorted(PIPELINES))
   for flag in ('rotate', 'flipud', 'fliplr', 'random_crop',
-               'cache_images'):
+               'cache_images', 'device_normalize', 'device_data'):
     d.add_argument(f'--{flag}', dest=flag, action='store_true')
     d.add_argument(f'--no{flag}', dest=flag, action='store_false')
   d.add_argument('--blur_sigma', type=float, default=4.0,
@@ -72,7 +72,9 @@ def build_parser():
   m.add_argument('--width', default=32, type=int, help='baseline models')
 
   p.set_defaults(rotate=False, flipud=False, fliplr=False,
-                 random_crop=True, cache_images=False, batch_norm=False)
+                 random_crop=True, cache_images=False,
+                 device_normalize=False, device_data=False,
+                 batch_norm=False)
   return p
 
 
@@ -101,6 +103,8 @@ def config_from_args(args):
           rotate=args.rotate,
           random_crop=args.random_crop,
           cache_images=args.cache_images,
+          device_normalize=args.device_normalize,
+          device_data=args.device_data,
           data_threads=args.data_threads,
           blur_sigma=args.blur_sigma,
           sharpen=args.sharpen),

@@ -64,6 +64,20 @@ class DataConfig:
   # only work. Off by default: matches the reference's re-decode
   # behavior and caps memory on big datasets.
   cache_images: bool = False
+  # Ship batches to the device in their storage dtype (uint8/uint16)
+  # and normalize to [0, 1] inside the jitted step (training.step.
+  # normalize_batch). Augmentation is index-only, so it runs on raw
+  # bytes: 4x (uint8) less host memcpy and host->device transfer than
+  # the float pipeline. ImageFilesDataPipeline only (HDR+ records use
+  # non-dtype white levels and stay on the float path).
+  device_normalize: bool = False
+  # Keep the ENTIRE decoded dataset resident in device memory and run
+  # the augmentation chain inside the jitted train step (data/device.py)
+  # — per-step host->device traffic drops to a few int32 draws. Needs
+  # uniform image shapes and a dataset that fits HBM; implies
+  # normalize-on-device. ImageFilesDataPipeline only; other pipelines
+  # and non-uniform datasets fall back to the host pipeline.
+  device_data: bool = False
   # UnsharpMask synthetic pipeline knobs (scripts/usm/*.sh).
   blur_sigma: float = 4.0
   sharpen: float = 1.0

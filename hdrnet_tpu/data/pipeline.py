@@ -234,19 +234,35 @@ class ImageFilesDataPipeline(DataPipeline):
   def _load(self, spec, rng):
     del rng
     in_path, out_path = spec
-    return self._read_float(in_path), self._read_float(out_path)
+    inp, out = self._read(in_path), self._read(out_path)
+    if inp.dtype != out.dtype:  # mixed storage depths: float path
+      inp, out = self._to_float(inp), self._to_float(out)
+    return inp, out
 
-  def _read_float(self, path):
+  @staticmethod
+  def _to_float(arr):
+    if arr.dtype in (np.float32, np.float64):
+      return np.asarray(arr, np.float32)
+    white = 65535.0 if arr.dtype == np.uint16 else 255.0
+    return native.to_float(arr, white)
+
+  def _read(self, path):
+    """Decoded image: raw dtype when device_normalize (the jitted step
+    divides by the dtype white level on-chip), float32 otherwise."""
+    raw = self._read_raw(path)
+    if self.cfg.device_normalize:
+      return raw
+    return self._to_float(raw)
+
+  def _read_raw(self, path):
     if not self.cfg.cache_images:
-      return images.imread_float(path)
+      return images.imread(path)
     cache = self.__dict__.setdefault('_img_cache', {})
     hit = cache.get(path)
     if hit is None:
-      arr = images.imread(path)
-      white = 65535.0 if arr.dtype == np.uint16 else 255.0
-      # Cache the raw dtype (1/4 the RAM of f32); convert per use.
-      cache[path] = hit = (arr, white)
-    return native.to_float(hit[0], hit[1])
+      # Cache the raw dtype (1/4 the RAM of f32).
+      cache[path] = hit = images.imread(path)
+    return hit
 
 
 class HDRpDataPipeline(DataPipeline):

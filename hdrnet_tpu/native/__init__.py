@@ -47,9 +47,12 @@ def _load():
   lib.to_float_u8.argtypes = [pu8, i64, f32, pf]
   lib.to_float_u16.argtypes = [pu16, i64, f32, pf]
   lib.resize_nearest_f32.argtypes = [pf, i32, i32, i32, pf, i32, i32]
+  lib.resize_nearest_u8.argtypes = [pu8, i32, i32, i32, pu8, i32, i32]
   lib.resize_bilinear_f32.argtypes = [pf, i32, i32, i32, pf, i32, i32]
   lib.crop_flip_rot_f32.argtypes = [pf, i32, i32, i32, i32, i32, i32, i32,
                                     i32, i32, i32, pf]
+  lib.crop_flip_rot_u8.argtypes = [pu8, i32, i32, i32, i32, i32, i32, i32,
+                                   i32, i32, i32, pu8]
   lib.gaussian_blur_f32.argtypes = [pf, i32, i32, i32, f32, pf, pf]
   _lib = lib
   return lib
@@ -80,18 +83,34 @@ def to_float(img, white_level):
   return out
 
 
+def _as_bytes_hwc(img):
+  """Views an integer HWC image as uint8 with c*itemsize 'channels' —
+  index-permutation ops (crop/flip/rot/nearest) are dtype-blind."""
+  h, w, c = img.shape
+  return img.view(np.uint8).reshape(h, w, c * img.dtype.itemsize)
+
+
 def resize_nearest(img, size):
-  """Legacy-TF nearest resize of a float32 HWC image."""
+  """Legacy-TF nearest resize of an HWC image (float32, uint8, or
+  uint16 — nearest sampling is a pure index permutation)."""
   oh, ow = size
   ih, iw, c = img.shape
   if (ih, iw) == (oh, ow):
     return img
   lib = _load()
-  img = np.ascontiguousarray(img, np.float32)
   if lib is None:
     iy = np.minimum((np.arange(oh) * (ih / oh)).astype(np.int64), ih - 1)
     ix = np.minimum((np.arange(ow) * (iw / ow)).astype(np.int64), iw - 1)
-    return img[iy][:, ix]
+    return np.ascontiguousarray(img[iy][:, ix])
+  if img.dtype in (np.uint8, np.uint16):
+    dtype = img.dtype
+    b = _as_bytes_hwc(np.ascontiguousarray(img))
+    bc = b.shape[-1]
+    out = np.empty((oh, ow, bc), np.uint8)
+    lib.resize_nearest_u8(_ptr(b, ctypes.c_uint8), ih, iw, bc,
+                          _ptr(out, ctypes.c_uint8), oh, ow)
+    return out.view(dtype).reshape(oh, ow, c)
+  img = np.ascontiguousarray(img, np.float32)
   out = np.empty((oh, ow, c), np.float32)
   lib.resize_nearest_f32(_ptr(img, ctypes.c_float), ih, iw, c,
                          _ptr(out, ctypes.c_float), oh, ow)
@@ -126,12 +145,12 @@ def resize_bilinear(img, size):
 
 def crop_flip_rot(img, y0, x0, ch, cw, fliplr=False, flipud=False,
                   rot_k=0):
-  """Fused crop + flips + rot90(k) of a float32 HWC image."""
+  """Fused crop + flips + rot90(k) of an HWC image (float32, uint8, or
+  uint16 — the op is a pure index permutation)."""
   ih, iw, c = img.shape
   k = rot_k % 4
   oh, ow = (cw, ch) if k % 2 else (ch, cw)
   lib = _load()
-  img = np.ascontiguousarray(img, np.float32)
   if lib is None:
     x = img[y0:y0 + ch, x0:x0 + cw]
     if fliplr:
@@ -139,6 +158,17 @@ def crop_flip_rot(img, y0, x0, ch, cw, fliplr=False, flipud=False,
     if flipud:
       x = x[::-1]
     return np.ascontiguousarray(np.rot90(x, k))
+  if img.dtype in (np.uint8, np.uint16):
+    dtype = img.dtype
+    b = _as_bytes_hwc(np.ascontiguousarray(img))
+    bc = b.shape[-1]
+    out = np.empty((oh, ow, bc), np.uint8)
+    lib.crop_flip_rot_u8(_ptr(b, ctypes.c_uint8), ih, iw, bc,
+                         int(y0), int(x0), int(ch), int(cw),
+                         int(bool(fliplr)), int(bool(flipud)), int(k),
+                         _ptr(out, ctypes.c_uint8))
+    return out.view(dtype).reshape(oh, ow, c)
+  img = np.ascontiguousarray(img, np.float32)
   out = np.empty((oh, ow, c), np.float32)
   lib.crop_flip_rot_f32(_ptr(img, ctypes.c_float), ih, iw, c,
                         int(y0), int(x0), int(ch), int(cw),

@@ -157,6 +157,58 @@ void crop_flip_rot_f32(const float* src, int ih, int iw, int c,
   }
 }
 
+// Byte variant (device-normalize pipelines keep samples in their raw
+// dtype end-to-end; crop/flips/rot90 are pure index permutations, so
+// they run on bytes and the TPU does the [0,1] normalize in-step).
+void crop_flip_rot_u8(const uint8_t* src, int ih, int iw, int c,
+                      int y0, int x0, int ch, int cw,
+                      int fliplr, int flipud, int rot_k,
+                      uint8_t* dst) {
+  const int k = ((rot_k % 4) + 4) % 4;
+  const int oh = (k % 2) ? cw : ch;
+  const int ow = (k % 2) ? ch : cw;
+  (void)ih;
+  for (int oy = 0; oy < oh; ++oy) {
+    for (int ox = 0; ox < ow; ++ox) {
+      int cy, cx;
+      switch (k) {
+        case 0: cy = oy; cx = ox; break;
+        case 1: cy = ox; cx = cw - 1 - oy; break;
+        case 2: cy = ch - 1 - oy; cx = cw - 1 - ox; break;
+        default: cy = ch - 1 - ox; cx = oy; break;
+      }
+      if (fliplr) cx = cw - 1 - cx;
+      if (flipud) cy = ch - 1 - cy;
+      const uint8_t* p =
+          src + (static_cast<int64_t>(y0 + cy) * iw + (x0 + cx)) * c;
+      uint8_t* q = dst + (static_cast<int64_t>(oy) * ow + ox) * c;
+      for (int j = 0; j < c; ++j) q[j] = p[j];
+    }
+  }
+}
+
+// Byte variant of the nearest resize (same TF1 index convention).
+void resize_nearest_u8(const uint8_t* src, int ih, int iw, int c,
+                       uint8_t* dst, int oh, int ow) {
+  const double sy = static_cast<double>(ih) / oh;
+  const double sx = static_cast<double>(iw) / ow;
+  int* xs = new int[ow];
+  for (int x = 0; x < ow; ++x) {
+    int v = static_cast<int>(x * sx);
+    xs[x] = std::min(v, iw - 1);
+  }
+  for (int y = 0; y < oh; ++y) {
+    const int ys = std::min(static_cast<int>(y * sy), ih - 1);
+    const uint8_t* srow = src + static_cast<int64_t>(ys) * iw * c;
+    uint8_t* drow = dst + static_cast<int64_t>(y) * ow * c;
+    for (int x = 0; x < ow; ++x) {
+      std::memcpy(drow + static_cast<int64_t>(x) * c,
+                  srow + static_cast<int64_t>(xs[x]) * c, c);
+    }
+  }
+  delete[] xs;
+}
+
 // ---------------------------------------------------------------------
 // Separable Gaussian blur (reflect boundary) — the unsharp-mask
 // synthetic pipeline's kernel (scripts/usm/*.sh --blur_sigma).

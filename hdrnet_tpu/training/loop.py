@@ -68,6 +68,33 @@ def _enable_compile_cache(checkpoint_dir):
     log.warning('persistent compilation cache unavailable')
 
 
+def _try_device_dataset(pipeline, data_cfg):
+  """(DeviceDataset, augment_fn) when the dataset qualifies for device
+  residency (data/device.py), else (None, None) with a logged reason."""
+  from hdrnet_tpu.data.device import (DeviceDataset, load_pairs,
+                                      make_device_augment)
+  from hdrnet_tpu.data.pipeline import ImageFilesDataPipeline
+  if type(pipeline) is not ImageFilesDataPipeline:
+    log.warning('device_data: %s is not ImageFilesDataPipeline; using '
+                'the host pipeline', type(pipeline).__name__)
+    return None, None
+  try:
+    dds = DeviceDataset(load_pairs(pipeline), data_cfg)
+    augment = make_device_augment(data_cfg.output_resolution,
+                                  data_cfg.net_input_size,
+                                  data_cfg.rotate)
+    return dds, augment
+  except ValueError as e:
+    log.warning('device_data unavailable (%s); using the host pipeline',
+                e)
+    return None, None
+
+
+def augment_batch(augment, ins, outs, params):
+  """Gather + on-device augment for one param-dict batch."""
+  return augment(ins[params['idx']], outs[params['idx']], params)
+
+
 def train(config: Config, checkpoint_dir, data_dir, eval_data_dir=None,
           max_steps=None):
   tc = config.train
@@ -96,39 +123,80 @@ def train(config: Config, checkpoint_dir, data_dir, eval_data_dir=None,
   log.info('training on %d samples from %s over %d device(s) mesh=%s',
            pipeline.nsamples, data_dir, n_dev, dict(mesh.shape))
 
+  import jax.numpy as jnp
   rep = pm.replicated(mesh)
-  raw_batches = pipeline.prefetching_batches(seed=tc.seed)
-  peek = next(raw_batches)
-  if mesh_shape[1] > 1:
-    h = peek['image_input'].shape[1]
-    if h % mesh_shape[1]:
-      raise ValueError(
-          f'full-res height {h} not divisible by spatial mesh degree '
-          f'{mesh_shape[1]}')
-  # Full-res images shard (batch, H) over ('data', 'spatial'); lowres
-  # over 'data' only — same tree as the driver's multi-chip dryrun.
-  batch_shard = pm.batch_shardings(mesh, peek)
-  batches = device_prefetch(_chain_first(peek, raw_batches), batch_shard)
-  first = next(batches)
+  bs = config.data.batch_size
+  dds = None
+  if config.data.device_data:
+    dds, augment = _try_device_dataset(pipeline, config.data)
+
+  if dds is not None:
+    # Device-resident dataset: batches are tiny param dicts; the jitted
+    # step gathers + augments + normalizes on device (data/device.py).
+    batches = dds.param_stream(tc.seed, bs)
+    oh, ow = config.data.output_resolution
+    s = config.data.net_input_size
+    n_in = config.model.n_in
+    low_shape = (bs, s, s, n_in)
+    full_shape = (bs, oh, ow, n_in)
+    batch_shard = pm.batch_shardings(mesh, {
+        'lowres_input': np.zeros(low_shape, np.float32),
+        'lowres_output': np.zeros(low_shape, np.float32),
+        'image_input': np.zeros(full_shape, np.float32),
+        'image_output': np.zeros(full_shape, np.float32),
+    })
+    base_step = make_train_step(model, tx)
+
+    def dd_step(state, ins, outs, params):
+      gathered = augment_batch(augment, ins, outs, params)
+      batch = {k: jax.lax.with_sharding_constraint(v, batch_shard[k])
+               for k, v in gathered.items()}
+      return base_step(state, batch)
+
+    _jit_step = jax.jit(dd_step, in_shardings=(rep, rep, rep, rep),
+                        out_shardings=(rep, rep), donate_argnums=(0,))
+
+    def train_step(state, params):
+      return _jit_step(state, dds.inputs, dds.outputs, params)
+  else:
+    raw_batches = pipeline.prefetching_batches(seed=tc.seed)
+    peek = next(raw_batches)
+    if mesh_shape[1] > 1:
+      h = peek['image_input'].shape[1]
+      if h % mesh_shape[1]:
+        raise ValueError(
+            f'full-res height {h} not divisible by spatial mesh degree '
+            f'{mesh_shape[1]}')
+    # Full-res images shard (batch, H) over ('data', 'spatial'); lowres
+    # over 'data' only — same tree as the driver's multi-chip dryrun.
+    batch_shard = pm.batch_shardings(mesh, peek)
+    batches = device_prefetch(_chain_first(peek, raw_batches), batch_shard)
+    first = next(batches)
+    low_shape = first['lowres_input'].shape
+    full_shape = first['image_input'].shape
+    train_step = jax.jit(make_train_step(model, tx),
+                         in_shardings=(rep, batch_shard),
+                         out_shardings=(rep, rep),
+                         donate_argnums=(0,))
 
   ckpt = Checkpointer(checkpoint_dir)
+  # Init inputs are f32 zeros of the batch shapes: with the
+  # device-normalize/device-data pipelines the batch itself is
+  # uint8/uint16 (the jitted step converts on-chip), but model.init
+  # sees floats.
+  init_low = jnp.zeros(low_shape, jnp.float32)
+  init_full = jnp.zeros(full_shape, jnp.float32)
   if ckpt.latest_step() is not None:
     template = abstract_state(model, tx, jax.random.PRNGKey(tc.seed),
-                              first['lowres_input'], first['image_input'])
+                              init_low, init_full)
     state = ckpt.restore(template)
     log.info('restored checkpoint at step %d', int(state.step))
   else:
     state = create_state(model, tx, jax.random.PRNGKey(tc.seed),
-                         first['lowres_input'], first['image_input'])
+                         init_low, init_full)
   state = jax.device_put(state, rep)
 
-  train_step = jax.jit(make_train_step(model, tx),
-                       in_shardings=(rep, batch_shard),
-                       out_shardings=(rep, rep),
-                       donate_argnums=(0,))
-  eval_step = jax.jit(make_eval_step(model))
-
-  eval_pipeline = None
+  eval_call = eval_nsamples = eval_batches = None
   if eval_data_dir:
     eval_cfg = Config.from_json(config.to_json()).data
     eval_cfg.batch_size = 1
@@ -136,6 +204,24 @@ def train(config: Config, checkpoint_dir, data_dir, eval_data_dir=None,
     eval_cfg.random_crop = False
     eval_cfg.fliplr = eval_cfg.flipud = eval_cfg.rotate = False
     eval_pipeline = make_pipeline(eval_data_dir, eval_cfg)
+    eval_dds = None
+    if eval_cfg.device_data:
+      eval_dds, eval_augment = _try_device_dataset(eval_pipeline, eval_cfg)
+    if eval_dds is not None:
+      base_eval = make_eval_step(model)
+
+      def dd_eval(state, ins, outs, params):
+        return base_eval(state, augment_batch(eval_augment, ins, outs,
+                                              params))
+      _jit_eval = jax.jit(dd_eval)
+      eval_call = lambda state, p: _jit_eval(state, eval_dds.inputs,
+                                             eval_dds.outputs, p)
+      eval_nsamples = eval_dds.nsamples
+      eval_batches = lambda: eval_dds.param_stream(0, 1)
+    else:
+      eval_call = jax.jit(make_eval_step(model))
+      eval_nsamples = eval_pipeline.nsamples
+      eval_batches = lambda: eval_pipeline.batches(seed=0)
 
   summaries = SummaryWriter(checkpoint_dir)
   last_log = last_summary = last_eval = time.time()
@@ -144,10 +230,10 @@ def train(config: Config, checkpoint_dir, data_dir, eval_data_dir=None,
   limit = max_steps if max_steps is not None else tc.max_steps
 
   def run_eval(step_no):
-    it = eval_pipeline.batches(seed=0)
+    it = eval_batches()
     psnrs = []
-    for _ in range(eval_pipeline.nsamples):
-      em = eval_step(state, next(it))
+    for _ in range(eval_nsamples):
+      em = eval_call(state, next(it))
       psnrs.append(float(em['psnr']))
     p = float(np.mean(psnrs))
     summaries.write(step_no, eval_psnr=p)
@@ -182,7 +268,7 @@ def train(config: Config, checkpoint_dir, data_dir, eval_data_dir=None,
                         batch_size=config.data.batch_size)
         last_summary = now
       ckpt.maybe_save(step_no, state, tc.checkpoint_interval)
-      if eval_pipeline and now - last_eval >= tc.eval_interval:
+      if eval_call and now - last_eval >= tc.eval_interval:
         run_eval(step_no)
         last_eval = now
   except KeyboardInterrupt:

@@ -56,12 +56,31 @@ def abstract_state(model, tx, rng, lowres, fullres):
       rng, lowres, fullres)
 
 
+def normalize_batch(batch):
+  """Device-side [0, 1] normalization of raw-dtype batches.
+
+  The device-normalize pipeline ships samples in their storage dtype
+  (uint8/uint16 — 4x/2x less host memcpy + host->device transfer than
+  f32) and the jitted step divides by the dtype white level on-chip,
+  matching imread_float's convention (utils/image.py). Float batches
+  pass through untouched.
+  """
+  def norm(x):
+    if x.dtype == jnp.uint8:
+      return x.astype(jnp.float32) * (1.0 / 255.0)
+    if x.dtype == jnp.uint16:
+      return x.astype(jnp.float32) * (1.0 / 65535.0)
+    return x
+  return jax.tree_util.tree_map(norm, batch)
+
+
 def make_train_step(model, tx, ema_decay=0.99):
   """Returns step(state, batch) -> (state, metrics_dict).
 
   batch keys: lowres_input, lowres_output (unused by the loss — parity
   note: the reference also trains only on the full-res target,
-  bin/train.py:95), image_input, image_output.
+  bin/train.py:95), image_input, image_output. Integer-dtype batches
+  are normalized on device (see normalize_batch).
   """
 
   def loss_fn(params, batch_stats, batch):
@@ -81,6 +100,7 @@ def make_train_step(model, tx, ema_decay=0.99):
     return loss, (p, new_stats)
 
   def step(state, batch):
+    batch = normalize_batch(batch)
     (loss, (p, new_stats)), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -100,6 +120,7 @@ def make_train_step(model, tx, ema_decay=0.99):
 
 def make_eval_step(model):
   def step(state, batch):
+    batch = normalize_batch(batch)
     variables = {'params': state.params}
     if state.batch_stats:
       variables['batch_stats'] = state.batch_stats

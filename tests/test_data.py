@@ -3,6 +3,7 @@ white-level handling, records round-trip, prefetch."""
 
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from PIL import Image
@@ -258,3 +259,102 @@ def test_filelist_path_accepted(tmp_path):
   assert pipe.nsamples == 3
   batch = next(pipe.batches())
   assert batch['image_input'].shape == (2, 32, 32, 3)
+
+
+def test_device_normalize_pipeline(tmp_path):
+  """device_normalize ships raw uint8 batches whose on-device
+  normalization (training.step.normalize_batch) bitwise-matches the
+  float pipeline — augmentation is index-only, so the two paths see
+  identical pixels."""
+  from hdrnet_tpu.training.step import normalize_batch
+  _write_dataset(tmp_path, size=(50, 70))
+  kw = dict(fliplr=True, flipud=True, rotate=True, random_crop=True)
+  bf = next(ImageFilesDataPipeline(
+      str(tmp_path), _cfg(**kw)).batches(seed=5))
+  bu = next(ImageFilesDataPipeline(
+      str(tmp_path), _cfg(device_normalize=True, **kw)).batches(seed=5))
+  for k in bf:
+    assert bu[k].dtype == np.uint8, (k, bu[k].dtype)
+    np.testing.assert_array_equal(
+        np.asarray(normalize_batch({k: jnp.asarray(bu[k])})[k]), bf[k])
+
+
+def test_device_normalize_sixteen_bit(tmp_path):
+  _write_dataset(tmp_path, bits=16)
+  from hdrnet_tpu.training.step import normalize_batch
+  bf = next(ImageFilesDataPipeline(str(tmp_path), _cfg()).batches(seed=1))
+  bu = next(ImageFilesDataPipeline(
+      str(tmp_path), _cfg(device_normalize=True)).batches(seed=1))
+  assert bu['image_input'].dtype == np.uint16
+  np.testing.assert_array_equal(
+      np.asarray(normalize_batch(
+          {'x': jnp.asarray(bu['image_input'])})['x']),
+      bf['image_input'])
+
+
+def test_device_dataset_augment_matches_host(tmp_path):
+  """Device-resident augmentation (data/device.py) bitwise-matches the
+  host native crop/flip/rot/lowres chain for the same draw."""
+  import jax
+  from hdrnet_tpu.data.device import (DeviceDataset, load_pairs,
+                                      make_device_augment)
+  _write_dataset(tmp_path, n=4, size=(50, 70))
+  cfg = _cfg(output_resolution=[32, 32], net_input_size=16,
+             random_crop=True, fliplr=True, flipud=True, rotate=True,
+             device_normalize=True)
+  pipe = ImageFilesDataPipeline(str(tmp_path), cfg)
+  dds = DeviceDataset(load_pairs(pipe), cfg)
+  aug = make_device_augment([32, 32], 16, True)
+  params = {'idx': np.asarray([1, 3], np.int32),
+            'y0': np.asarray([0, 18], np.int32),
+            'x0': np.asarray([38, 5], np.int32),
+            'fliplr': np.asarray([1, 0], np.int32),
+            'flipud': np.asarray([0, 1], np.int32),
+            'rot_k': np.asarray([3, 2], np.int32)}
+  got = jax.jit(lambda i, o, p: aug(i[p['idx']], o[p['idx']], p))(
+      dds.inputs, dds.outputs, params)
+  for b in range(2):
+    i = int(params['idx'][b])
+    inp = pipe._read_raw(pipe.specs[i][0])
+    out = pipe._read_raw(pipe.specs[i][1])
+    both = np.concatenate([inp, out], -1)
+    full = native.crop_flip_rot(
+        both, int(params['y0'][b]), int(params['x0'][b]), 32, 32,
+        bool(params['fliplr'][b]), bool(params['flipud'][b]),
+        int(params['rot_k'][b]))
+    low = native.resize_nearest(full, (16, 16))
+    np.testing.assert_array_equal(np.asarray(got['image_input'][b]),
+                                  full[:, :, :3])
+    np.testing.assert_array_equal(np.asarray(got['image_output'][b]),
+                                  full[:, :, 3:])
+    np.testing.assert_array_equal(np.asarray(got['lowres_input'][b]),
+                                  low[:, :, :3])
+
+
+def test_device_dataset_epoch_semantics(tmp_path):
+  """param_stream emits each sample exactly once per epoch."""
+  from hdrnet_tpu.data.device import DeviceDataset, load_pairs
+  _write_dataset(tmp_path, n=5, size=(40, 40))
+  cfg = _cfg(output_resolution=[32, 32], batch_size=1, shuffle=True)
+  pipe = ImageFilesDataPipeline(str(tmp_path), cfg)
+  dds = DeviceDataset(load_pairs(pipe), cfg)
+  it = dds.param_stream(seed=0, batch_size=1)
+  seen = [int(next(it)['idx'][0]) for _ in range(10)]
+  assert sorted(seen[:5]) == list(range(5))
+  assert sorted(seen[5:]) == list(range(5))
+
+
+def test_device_dataset_rejects_nonuniform(tmp_path):
+  from hdrnet_tpu.data.device import DeviceDataset, load_pairs
+  _write_dataset(tmp_path, n=2, size=(40, 40))
+  from PIL import Image as PILImage
+  PILImage.fromarray(np.zeros((30, 40, 3), np.uint8)).save(
+      tmp_path / 'input' / 'odd.png')
+  PILImage.fromarray(np.zeros((30, 40, 3), np.uint8)).save(
+      tmp_path / 'output' / 'odd.png')
+  with open(tmp_path / 'filelist.txt', 'a') as f:
+    f.write('odd.png\n')
+  cfg = _cfg(output_resolution=[16, 16])
+  pipe = ImageFilesDataPipeline(str(tmp_path), cfg)
+  with pytest.raises(ValueError, match='uniform'):
+    DeviceDataset(load_pairs(pipe), cfg)

@@ -170,3 +170,28 @@ def test_evaluate_cli(dataset, tmp_path, capsys):
   assert result['n_images'] == 2
   assert np.isfinite(result['mean_psnr_db'])
   assert result['mean_l2'] >= 0.0
+
+
+def test_train_device_data_converges(dataset, tmp_path):
+  """The device-resident dataset path (data/device.py): whole dataset in
+  device memory, augment + normalize inside the jitted step. Same
+  brighten-operator convergence gate as the host-pipeline test."""
+  from hdrnet_tpu.training.loop import train
+
+  def cfg(steps):
+    c = _config(steps)
+    c.data.device_data = True
+    c.data.device_normalize = True
+    c.data.fliplr = True
+    c.data.rotate = True
+    return c
+
+  state = train(cfg(30), str(tmp_path / 'ckpt_dd'), str(dataset),
+                eval_data_dir=str(dataset))
+  assert int(state.step) == 30
+  loss_30 = float(state.ema_loss)
+  assert np.isfinite(loss_30)
+  # Resume across the device-data path too.
+  state2 = train(cfg(45), str(tmp_path / 'ckpt_dd'), str(dataset))
+  assert int(state2.step) == 45
+  assert float(state2.ema_loss) < loss_30
