@@ -39,7 +39,7 @@ def main(argv=None):
   from hdrnet_tpu.models import make_model
   from hdrnet_tpu.training import metrics
   from hdrnet_tpu.training.checkpoint import Checkpointer
-  from hdrnet_tpu.training.step import abstract_state
+  from hdrnet_tpu.training.step import abstract_state, normalize_batch
 
   config = Config.load(args.checkpoint_dir)
   model = make_model(config.model)
@@ -64,6 +64,9 @@ def main(argv=None):
 
   @jax.jit
   def ev(batch):
+    # Raw-dtype batches (a checkpoint trained with --device_normalize
+    # persists that pipeline setting) are normalized on device here.
+    batch = normalize_batch(batch)
     out = model.apply(variables, batch['lowres_input'],
                       batch['image_input'])
     return (metrics.psnr(batch['image_output'], out),
