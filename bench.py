@@ -88,6 +88,11 @@ def main(argv=None):
                            '(reference --burn_iters)')
   parser.add_argument('--repeats', type=int, default=3,
                       help='timed chain invocations; median is reported')
+  parser.add_argument('--stream', type=int, default=0, metavar='N',
+                      help='also measure N-frame uint8 streaming '
+                           '(Enhancer.stream): includes host link '
+                           'transfers, which through the axon tunnel '
+                           'measure the tunnel, not the chip')
   args = parser.parse_args(argv)
 
   import jax
@@ -174,6 +179,19 @@ def main(argv=None):
   lowres_b = jnp.asarray(rng.rand(bt, 256, 256, 3), np.float32)
   t_4k_batch = timed_feedback_chain(e2e, 8, full4k_b, lowres_b) / bt
 
+  # --- optional: uint8 streaming with transfer/compute overlap --------
+  t_stream = None
+  if args.stream:
+    frames = [(rng.rand(1, H, W, 3) * 255).astype(np.uint8)
+              for _ in range(min(4, args.stream))]
+    list(enh.stream(iter(frames[:2])))  # compile + warm
+    t0 = time.time()
+    k = 0
+    for _ in enh.stream(frames[i % len(frames)]
+                        for i in range(args.stream)):
+      k += 1
+    t_stream = (time.time() - t0) / k
+
   fps_4k = 1.0 / t_4k
   gpix = H * W / t_slice / 1e9
 
@@ -191,6 +209,9 @@ def main(argv=None):
   err(f'end-to-end 1080p  : {t_1080 * 1e3:7.2f} ms  '
       f'({1.0 / t_1080:.1f} fps)')
   err(f'4K throughput (batch {bt}): {1.0 / t_4k_batch:.1f} frames/s')
+  if t_stream is not None:
+    err(f'4K uint8 stream   : {t_stream * 1e3:7.2f} ms/frame '
+        f'({1.0 / t_stream:.1f} fps incl. host link transfers)')
 
   print(json.dumps({
       'metric': '4k_enhancement_fps_per_chip',
@@ -200,6 +221,8 @@ def main(argv=None):
       'detail': {
           'fps_1080p': round(1.0 / t_1080, 2),
           'fps_4k_batched_throughput': round(1.0 / t_4k_batch, 2),
+          **({'fps_4k_stream_uint8': round(1.0 / t_stream, 2)}
+             if t_stream is not None else {}),
           'slice_apply_gpix_per_s': round(gpix, 3),
           'stage_ms': {
               'downsample': round(t_down * 1e3, 3),

@@ -30,6 +30,13 @@ def build_parser():
 
   t = p.add_argument_group('training')
   t.add_argument('--learning_rate', default=1e-4, type=float)
+  t.add_argument('--lr_schedule', default='constant',
+                 choices=['constant', 'cosine'],
+                 help='constant = reference behavior; cosine decays to '
+                      '--lr_end over --lr_decay_steps (default max_steps)')
+  t.add_argument('--lr_decay_steps', default=None, type=int)
+  t.add_argument('--lr_end', default=0.0, type=float)
+  t.add_argument('--lr_warmup_steps', default=0, type=int)
   t.add_argument('--max_steps', default=None, type=int)
   t.add_argument('--log_interval', type=float, default=1,
                  help='seconds between log lines')
@@ -110,6 +117,10 @@ def config_from_args(args):
           sharpen=args.sharpen),
       train=TrainConfig(
           learning_rate=args.learning_rate,
+          lr_schedule=args.lr_schedule,
+          lr_decay_steps=args.lr_decay_steps,
+          lr_end=args.lr_end,
+          lr_warmup_steps=args.lr_warmup_steps,
           log_interval=args.log_interval,
           summary_interval=args.summary_interval,
           checkpoint_interval=args.checkpoint_interval,

@@ -90,6 +90,15 @@ class DataConfig:
 class TrainConfig:
   """Optimization + bookkeeping (reference: bin/train.py:197-204)."""
   learning_rate: float = 1e-4
+  # Learning-rate schedule. 'constant' is the reference behavior (Adam
+  # at a fixed lr forever, bin/train.py:108,199); 'cosine' decays from
+  # learning_rate to lr_end over lr_decay_steps (default: max_steps)
+  # after lr_warmup_steps of linear warmup — a beyond-reference knob
+  # that squeezes out the last dB once the fixed-lr curve plateaus.
+  lr_schedule: str = 'constant'
+  lr_decay_steps: Optional[int] = None
+  lr_end: float = 0.0
+  lr_warmup_steps: int = 0
   log_interval: int = 1          # seconds
   summary_interval: int = 120    # seconds
   checkpoint_interval: int = 600  # seconds

@@ -68,6 +68,30 @@ def _enable_compile_cache(checkpoint_dir):
     log.warning('persistent compilation cache unavailable')
 
 
+def _make_schedule(tc):
+  """None for the reference's constant lr, else an optax schedule.
+
+  Kept None (plain float lr) in the constant case so the optimizer
+  state tree stays identical to round-1 checkpoints (a schedule adds a
+  ScaleByScheduleState count that older checkpoints don't carry).
+  """
+  if tc.lr_schedule == 'constant':
+    return None
+  if tc.lr_schedule != 'cosine':
+    raise ValueError(f'unknown lr_schedule {tc.lr_schedule!r}')
+  decay = tc.lr_decay_steps or tc.max_steps
+  if not decay:
+    raise ValueError("lr_schedule='cosine' needs lr_decay_steps or "
+                     'max_steps')
+  if tc.lr_warmup_steps:
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=tc.learning_rate,
+        warmup_steps=tc.lr_warmup_steps, decay_steps=decay,
+        end_value=tc.lr_end)
+  return optax.cosine_decay_schedule(
+      tc.learning_rate, decay, alpha=tc.lr_end / tc.learning_rate)
+
+
 def _try_device_dataset(pipeline, data_cfg):
   """(DeviceDataset, augment_fn) when the dataset qualifies for device
   residency (data/device.py), else (None, None) with a logged reason."""
@@ -117,7 +141,8 @@ def train(config: Config, checkpoint_dir, data_dir, eval_data_dir=None,
                      f'by data-parallel degree {mesh_shape[0]}')
 
   model = make_model(config.model)
-  tx = optax.adam(tc.learning_rate)
+  schedule = _make_schedule(tc)
+  tx = optax.adam(tc.learning_rate if schedule is None else schedule)
 
   pipeline = make_pipeline(data_dir, config.data)
   log.info('training on %d samples from %s over %d device(s) mesh=%s',
@@ -264,7 +289,8 @@ def train(config: Config, checkpoint_dir, data_dir, eval_data_dir=None,
         last_log = now
       if now - last_summary >= tc.summary_interval:
         summaries.write(step_no, loss=m['ema_loss'], psnr=m['ema_psnr'],
-                        learning_rate=tc.learning_rate,
+                        learning_rate=(tc.learning_rate if schedule is None
+                                       else float(schedule(step_no))),
                         batch_size=config.data.batch_size)
         last_summary = now
       ckpt.maybe_save(step_no, state, tc.checkpoint_interval)

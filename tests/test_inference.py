@@ -146,3 +146,35 @@ def test_pyramid_feasibility_covers_all_levels(caplog):
   assert any('composite path' in r.message for r in caplog.records)
   want = model.apply(variables, lowres, fullres)
   np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+
+
+def test_stream_matches_per_frame():
+  """stream(): uint8 in/out pipeline equals the per-frame path, keeps
+  frame order, and reuses one jitted function across frames."""
+  cfg, model, variables, lowres, fullres = _setup('HDRNetCurves')
+  enh = Enhancer(config=cfg, variables=variables, interpret=False)
+  rng = np.random.RandomState(3)
+  frames = [(rng.rand(1, 96, 128, 3) * 255).astype(np.uint8)
+            for _ in range(5)]
+  # Tag each frame so ordering mistakes are detectable.
+  for i, f in enumerate(frames):
+    f[0, 0, 0, 0] = i * 40
+
+  outs = list(enh.stream(iter(frames), depth=2))
+  assert len(outs) == 5
+  assert all(o.dtype == np.uint8 for o in outs)
+
+  from hdrnet_tpu.ops.resize import resize_nearest
+  for f, got in zip(frames, outs):
+    full = jnp.asarray(f, jnp.float32) / 255.0
+    low = resize_nearest(full, (64, 64))
+    want = enh(low, full, clip=True)
+    want_u8 = np.asarray(want * 255.0 + 0.5).astype(np.uint8)
+    # +-1 codes: XLA may reassociate the normalize/requantize arithmetic
+    # differently inside the single fused stream program, which can flip
+    # a value sitting exactly on a rounding boundary.
+    diff = got.astype(int) - want_u8.astype(int)
+    assert np.abs(diff).max() <= 1
+    assert (diff != 0).mean() < 0.01
+  # One stream fn + one per-frame fn in the jit cache.
+  assert ('stream', (1, 96, 128, 3)) in enh._jitted

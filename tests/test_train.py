@@ -195,3 +195,46 @@ def test_train_device_data_converges(dataset, tmp_path):
   state2 = train(cfg(45), str(tmp_path / 'ckpt_dd'), str(dataset))
   assert int(state2.step) == 45
   assert float(state2.ema_loss) < loss_30
+
+
+def test_train_cosine_schedule(dataset, tmp_path):
+  """lr_schedule='cosine': trains, resumes (schedule state is part of
+  the optimizer tree), and the logged learning_rate decays."""
+  from hdrnet_tpu.training.loop import _make_schedule, train
+
+  def cfg(steps):
+    c = _config(steps)
+    c.train.lr_schedule = 'cosine'
+    c.train.lr_end = 3e-5
+    c.train.summary_interval = 0  # every step
+    return c
+
+  state = train(cfg(10), str(tmp_path / 'ckpt_cos'), str(dataset))
+  assert int(state.step) == 10
+  assert np.isfinite(float(state.ema_loss))
+  state2 = train(cfg(14), str(tmp_path / 'ckpt_cos'), str(dataset))
+  assert int(state2.step) == 14
+
+  import json
+  recs = [json.loads(l) for l in
+          open(tmp_path / 'ckpt_cos' / 'summaries.jsonl')]
+  lrs = [r['learning_rate'] for r in recs if 'learning_rate' in r]
+  assert lrs[0] > lrs[-1] > 0
+  # Warmup variant produces a ramp then decay.
+  c = cfg(14).train
+  c.lr_warmup_steps = 4
+  sched = _make_schedule(c)
+  assert float(sched(0)) < float(sched(4))
+  assert float(sched(14)) < float(sched(4))
+
+
+def test_cli_lr_schedule_plumbing():
+  from hdrnet_tpu.bin.train import build_parser, config_from_args
+  args = build_parser().parse_args(
+      ['ckpt', 'data', '--lr_schedule', 'cosine', '--lr_decay_steps',
+       '1000', '--lr_end', '1e-6', '--lr_warmup_steps', '50'])
+  cfg = config_from_args(args)
+  assert cfg.train.lr_schedule == 'cosine'
+  assert cfg.train.lr_decay_steps == 1000
+  assert cfg.train.lr_end == 1e-6
+  assert cfg.train.lr_warmup_steps == 50
