@@ -238,3 +238,16 @@ def test_cli_lr_schedule_plumbing():
   assert cfg.train.lr_decay_steps == 1000
   assert cfg.train.lr_end == 1e-6
   assert cfg.train.lr_warmup_steps == 50
+
+
+def test_fit_grid_cli(dataset, capsys):
+  """Oracle grid fit: on the brighten-by-1.3x operator (exactly
+  representable by a diagonal affine) the fit must approach perfection
+  and beat the identity baseline decisively."""
+  import json
+  from hdrnet_tpu.bin.fit_grid import main as fit_main
+  fit_main([str(dataset), '--limit', '1', '--steps', '120', '--lr',
+            '1e-2', '--spatial_bin', '4', '--luma_bins', '4'])
+  res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+  assert res['n_images'] == 1
+  assert res['mean_oracle_psnr'] > res['mean_identity_psnr'] + 5.0
