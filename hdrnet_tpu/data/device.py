@@ -1,0 +1,160 @@
+"""Device-resident dataset: the whole training set lives in HBM.
+
+HDRNet datasets are small (hundreds of photos — the reference's
+local-laplacian set is ~2.5k 2048px images; sample_data/identity is
+3), while the model's per-step compute is tiny. On a host with few
+cores feeding a fast chip — or over a tunnel where every
+host->device transfer is expensive — the input pipeline dominates the
+step. This module uploads every decoded sample ONCE (raw uint8/uint16;
+a 220-image 1024px set is ~1.3 GB of a v5e's 16 GB HBM) and performs
+the reference's augmentation chain (random crop -> fliplr/flipud ->
+rot90 -> nearest lowres, data_pipeline.py:126-171) inside the jitted
+train step. The host's per-step work is drawing a handful of int32
+augmentation parameters.
+
+Requirements: every sample decodes to one common (H, W, C) shape, and
+square crops when rotation is enabled (a rot90 of a non-square crop
+would change the static output shape). Callers fall back to the host
+pipeline otherwise.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+log = logging.getLogger('hdrnet_tpu.data')
+
+
+def _nearest_indices(src, dst):
+  """Legacy-TF nearest indices: src_idx = floor(dst * src/dst_len)."""
+  return np.minimum((np.arange(dst) * (src / dst)).astype(np.int32),
+                    src - 1)
+
+
+def make_device_augment(output_resolution, net_input_size, rotate):
+  """Returns augment(inputs, outputs, params) -> batch dict, jittable.
+
+  inputs/outputs: (B, H, W, C) raw-dtype device arrays (a gathered
+  batch). params: dict of (B,) int32 arrays {y0, x0, fliplr, flipud,
+  rot_k}. Output images keep the raw dtype — normalize-on-device
+  (training.step.normalize_batch) divides by the dtype white level.
+  """
+  oh, ow = output_resolution
+  if rotate and oh != ow:
+    raise ValueError('device augmentation with rotation needs square '
+                     f'output_resolution, got {output_resolution}')
+  low_iy = jnp.asarray(_nearest_indices(oh, net_input_size))
+  low_ix = jnp.asarray(_nearest_indices(ow, net_input_size))
+
+  def one(inp, out, y0, x0, fl, fu, k):
+    both = jnp.concatenate([inp, out], axis=-1)
+    crop = jax.lax.dynamic_slice(
+        both, (y0, x0, 0), (oh, ow, both.shape[-1]))
+    # Flips then rot90(k), matching the host path (pipeline._augment
+    # applies flips on the cropped frame, then rotation).
+    crop = jnp.where(fl > 0, crop[:, ::-1], crop)
+    crop = jnp.where(fu > 0, crop[::-1], crop)
+    if rotate:
+      crop = jax.lax.switch(k, [
+          lambda c: c,
+          lambda c: jnp.rot90(c, 1),
+          lambda c: jnp.rot90(c, 2),
+          lambda c: jnp.rot90(c, 3),
+      ], crop)
+    low = crop[low_iy][:, low_ix]
+    return crop, low
+
+  v = jax.vmap(one)
+
+  def augment(inputs, outputs, params):
+    n_in = inputs.shape[-1]
+    full, low = v(inputs, outputs, params['y0'], params['x0'],
+                  params['fliplr'], params['flipud'], params['rot_k'])
+    return {
+        'image_input': full[..., :n_in],
+        'image_output': full[..., n_in:],
+        'lowres_input': low[..., :n_in],
+        'lowres_output': low[..., n_in:],
+    }
+
+  return augment
+
+
+class DeviceDataset:
+  """Uploads a decoded dataset once; draws per-step augmentation params.
+
+  `pairs` is a list of (input_array, output_array) raw-dtype numpy
+  samples of one common shape.
+  """
+
+  def __init__(self, pairs, cfg, sharding=None):
+    shapes = {(a.shape, b.shape) for a, b in pairs}
+    if len(shapes) != 1:
+      raise ValueError(f'device dataset needs uniform shapes, got '
+                       f'{sorted(shapes)[:3]}...')
+    ins = np.stack([a for a, _ in pairs])
+    outs = np.stack([b for _, b in pairs])
+    put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
+        else jax.device_put
+    self.inputs = put(ins)
+    self.outputs = put(outs)
+    self.nsamples = len(pairs)
+    self.cfg = cfg
+    h, w = ins.shape[1:3]
+    oh, ow = cfg.output_resolution
+    if h < oh or w < ow:
+      raise ValueError(f'images {h}x{w} smaller than crop {oh}x{ow}')
+    self._max_y0 = h - oh
+    self._max_x0 = w - ow
+    if cfg.rotate and oh != ow:
+      raise ValueError('rotation needs square output_resolution')
+    log.info('device dataset: %d samples x %s resident (%.2f GB HBM)',
+             self.nsamples, ins.shape[1:],
+             (ins.nbytes + outs.nbytes) / 1e9)
+
+  def param_stream(self, seed, batch_size):
+    """Infinite epochs of shuffled sample indices + augmentation draws.
+
+    One shuffled permutation per epoch (exactly-once-per-epoch, same
+    contract as pipeline.prefetching_batches)."""
+    rng = np.random.RandomState(seed)
+    cfg = self.cfg
+    order = np.arange(self.nsamples)
+    pending = []
+    while True:
+      if cfg.shuffle:
+        rng.shuffle(order)
+      pending.extend(order.tolist())
+      while len(pending) >= batch_size:
+        idx = np.asarray(pending[:batch_size], np.int32)
+        del pending[:batch_size]
+        bs = batch_size
+        if cfg.random_crop:
+          y0 = rng.randint(0, self._max_y0 + 1, bs)
+          x0 = rng.randint(0, self._max_x0 + 1, bs)
+        else:
+          y0 = np.full(bs, self._max_y0 // 2)
+          x0 = np.full(bs, self._max_x0 // 2)
+        yield {
+            'idx': idx,
+            'y0': y0.astype(np.int32),
+            'x0': x0.astype(np.int32),
+            'fliplr': (cfg.fliplr * rng.randint(0, 2, bs)).astype(np.int32),
+            'flipud': (cfg.flipud * rng.randint(0, 2, bs)).astype(np.int32),
+            'rot_k': (rng.randint(0, 4, bs) if cfg.rotate
+                      else np.zeros(bs)).astype(np.int32),
+        }
+
+
+def load_pairs(pipeline):
+  """Decodes every sample of an ImageFilesDataPipeline raw (no crop /
+  augment — that happens on device)."""
+  pairs = []
+  for in_path, out_path in pipeline.specs:
+    pairs.append((pipeline._read_raw(in_path),
+                  pipeline._read_raw(out_path)))
+  return pairs
