@@ -76,7 +76,7 @@ def fit_pair(inp, tgt, *, gh=16, gw=16, gd=8, steps=400, lr=3e-3,
     return optax.apply_updates(p, updates), s, loss
 
   for _ in range(steps):
-    params, opt_state, loss = step(params, opt_state)
+    params, opt_state, _ = step(params, opt_state)
   mse = float(loss_fn(params))
   return -10.0 * float(np.log10(max(mse, 1e-12))), params
 

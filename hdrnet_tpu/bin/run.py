@@ -126,7 +126,9 @@ def main(argv=None):
     if args.lowres_input:
       low_path = os.path.join(args.lowres_input,
                               os.path.basename(in_path))
-      lowres = native.to_float(images.imread(low_path), white)
+      # Normalized by the lowres file's OWN bit depth (an 8-bit preview
+      # of a 16-bit HDR+ frame is the typical pairing).
+      lowres = images.imread_float(low_path)
       if lowres.shape[:2] != (net_size, net_size):
         raise ValueError(
             f'{low_path}: lowres input is {lowres.shape[:2]}, model '

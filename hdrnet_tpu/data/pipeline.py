@@ -38,6 +38,35 @@ from hdrnet_tpu.config import DataConfig
 from hdrnet_tpu.data import images
 
 
+def _as_float01(arr):
+  """Raw decoded image -> float32 [0,1] by its OWN dtype white level."""
+  if arr.dtype in (np.float32, np.float64):
+    return np.asarray(arr, np.float32)
+  white = 65535.0 if arr.dtype == np.uint16 else 255.0
+  return native.to_float(arr, white)
+
+
+def _stack_batch(samples):
+  """Stacks per-key; mixed storage depths across samples fall back to
+  the float path (np.stack would silently promote a uint8 sample into a
+  uint16 batch and the on-device normalize would then scale it by the
+  wrong white level)."""
+  batch = {}
+  for k in samples[0]:
+    arrs = [s[k] for s in samples]
+    if len({a.dtype for a in arrs}) > 1:
+      arrs = [_as_float01(a) for a in arrs]
+    batch[k] = np.stack(arrs)
+  return batch
+
+
+class _WorkerFailure:
+  """Sentinel carrying a worker exception to the consuming thread."""
+
+  def __init__(self, spec, exc):
+    self.spec, self.exc = spec, exc
+
+
 def check_dir(dirname):
   """Validates the filelist.txt + input/ + output/ layout
   (data_pipeline.py:36-49)."""
@@ -138,8 +167,7 @@ class DataPipeline:
     it = self._sample_iter(seed)
     bs = self.cfg.batch_size
     while True:
-      samples = [next(it) for _ in range(bs)]
-      yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+      yield _stack_batch([next(it) for _ in range(bs)])
 
   def prefetching_batches(self, seed=0, capacity=4):
     """batches() with `data_threads` workers sharing one epoch order.
@@ -191,8 +219,12 @@ class DataPipeline:
           i = idx_q.get(timeout=0.1)
         except queue.Empty:
           continue
-        inp, out = self._load(self.specs[i], rng)
-        sample = self._augment(inp, out, rng)
+        try:
+          inp, out = self._load(self.specs[i], rng)
+          sample = self._augment(inp, out, rng)
+        except Exception as e:  # propagate: a silently dead worker
+          # would stall the epoch barrier and hang training forever.
+          sample = _WorkerFailure(self.specs[i], e)
         while not stop.is_set():
           try:
             sample_q.put(sample, timeout=0.1)
@@ -210,8 +242,14 @@ class DataPipeline:
       t.start()
     try:
       while True:
-        samples = [sample_q.get() for _ in range(bs)]
-        yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+        samples = []
+        for _ in range(bs):
+          s = sample_q.get()
+          if isinstance(s, _WorkerFailure):
+            raise RuntimeError(
+                f'data worker failed on sample {s.spec}') from s.exc
+          samples.append(s)
+        yield _stack_batch(samples)
     finally:
       stop.set()
 
@@ -241,10 +279,7 @@ class ImageFilesDataPipeline(DataPipeline):
 
   @staticmethod
   def _to_float(arr):
-    if arr.dtype in (np.float32, np.float64):
-      return np.asarray(arr, np.float32)
-    white = 65535.0 if arr.dtype == np.uint16 else 255.0
-    return native.to_float(arr, white)
+    return _as_float01(arr)
 
   def _read(self, path):
     """Decoded image: raw dtype when device_normalize (the jitted step

@@ -132,16 +132,20 @@ class Enhancer:
 
   # -- fused forward ----------------------------------------------------
 
+  def _backbone_grid(self, lowres):
+    """Coefficient-backbone forward: lowres -> rank-6 bilateral grid."""
+    from hdrnet_tpu.models.hdrnet import CoefficientBackbone
+    bb_vars = {'params': self.variables['params']['coefficients']}
+    if 'coefficients' in self.variables.get('batch_stats', {}):
+      bb_vars['batch_stats'] = self.variables['batch_stats'][
+          'coefficients']
+    backbone = CoefficientBackbone(self.model_cfg, self.model.n_out,
+                                   self.model.n_in_tot)
+    return backbone.apply(bb_vars, lowres)
+
   def _fused_forward(self, lowres, fullres, clip=False):
     model, cfg = self.model, self.model_cfg
-    bb_vars = {'params': self.variables['params']['coefficients']}
-    if 'batch_stats' in self.variables and \
-        'coefficients' in self.variables['batch_stats']:
-      bb_vars['batch_stats'] = \
-          self.variables['batch_stats']['coefficients']
-    from hdrnet_tpu.models.hdrnet import CoefficientBackbone
-    backbone = CoefficientBackbone(cfg, model.n_out, model.n_in_tot)
-    grid = backbone.apply(bb_vars, lowres)
+    grid = self._backbone_grid(lowres)
     b, gh, gw, gd, no, ni1 = grid.shape
     guide_args = self._guide_args()
 
@@ -320,13 +324,7 @@ class Enhancer:
   def _bucketed_forward(self, lowres, padded, hw, *, h_b, w_b, h_min,
                         w_min, clip):
     model, cfg = self.model, self.model_cfg
-    bb_vars = {'params': self.variables['params']['coefficients']}
-    if 'coefficients' in self.variables.get('batch_stats', {}):
-      bb_vars['batch_stats'] = self.variables['batch_stats'][
-          'coefficients']
-    from hdrnet_tpu.models.hdrnet import CoefficientBackbone
-    backbone = CoefficientBackbone(cfg, model.n_out, model.n_in_tot)
-    grid = backbone.apply(bb_vars, lowres)
+    grid = self._backbone_grid(lowres)
     b, gh, gw, gd, no, ni1 = grid.shape
     mode, gparams = self._guide_args()[0]
     packed = grid.reshape(b, gh, gw, gd, no * ni1)
@@ -357,7 +355,6 @@ class Enhancer:
     exchanges the bilinear resamplings need over ICI.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from hdrnet_tpu.models.hdrnet import CoefficientBackbone
 
     cfg, model = self.model_cfg, self.model
     axes = mesh.axis_names
@@ -367,11 +364,6 @@ class Enhancer:
                 if isinstance(model, HDRNetGaussianPyrNN) else 1)
     assert h % (n_dev * 2 ** (n_scales - 1)) == 0, (h, n_dev, n_scales)
 
-    bb_vars = {'params': self.variables['params']['coefficients']}
-    if 'coefficients' in self.variables.get('batch_stats', {}):
-      bb_vars['batch_stats'] = self.variables['batch_stats'][
-          'coefficients']
-    backbone = CoefficientBackbone(cfg, model.n_out, model.n_in_tot)
     guide_args = self._guide_args()
     interpret = self.interpret
 
@@ -409,7 +401,7 @@ class Enhancer:
 
     @jax.jit
     def run(lowres, fullres, all_gparams):
-      grid = backbone.apply(bb_vars, lowres)
+      grid = self._backbone_grid(lowres)
       b_, gh, gw, gd, no, ni1 = grid.shape
 
       if n_scales == 1:

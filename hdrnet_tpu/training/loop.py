@@ -196,9 +196,8 @@ def train(config: Config, checkpoint_dir, data_dir, eval_data_dir=None,
     # over 'data' only — same tree as the driver's multi-chip dryrun.
     batch_shard = pm.batch_shardings(mesh, peek)
     batches = device_prefetch(_chain_first(peek, raw_batches), batch_shard)
-    first = next(batches)
-    low_shape = first['lowres_input'].shape
-    full_shape = first['image_input'].shape
+    low_shape = peek['lowres_input'].shape
+    full_shape = peek['image_input'].shape
     train_step = jax.jit(make_train_step(model, tx),
                          in_shardings=(rep, batch_shard),
                          out_shardings=(rep, rep),

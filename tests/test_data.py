@@ -358,3 +358,35 @@ def test_device_dataset_rejects_nonuniform(tmp_path):
   pipe = ImageFilesDataPipeline(str(tmp_path), cfg)
   with pytest.raises(ValueError, match='uniform'):
     DeviceDataset(load_pairs(pipe), cfg)
+
+
+def test_mixed_bit_depth_batch_falls_back_to_float(tmp_path):
+  """A batch mixing 8-bit and 16-bit samples with device_normalize must
+  not be silently promoted by np.stack (a uint8 255 would become
+  255/65535 after the on-device divide); mixed batches take the float
+  path, normalized per-sample by each file's own white level."""
+  os.makedirs(tmp_path / 'input'); os.makedirs(tmp_path / 'output')
+  rng = np.random.RandomState(0)
+  a8 = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+  a16 = (rng.rand(48, 64) * 65535).astype(np.uint16)
+  for sub in ('input', 'output'):
+    Image.fromarray(a8).save(tmp_path / sub / 'a.png')
+    Image.fromarray(a16).save(tmp_path / sub / 'b.png')
+  (tmp_path / 'filelist.txt').write_text('a.png\nb.png\n')
+  batch = next(ImageFilesDataPipeline(
+      str(tmp_path), _cfg(device_normalize=True)).batches(seed=0))
+  assert batch['image_input'].dtype == np.float32
+  assert 0.5 < batch['image_input'].max() <= 1.0  # both samples in [0,1]
+
+
+def test_prefetch_worker_failure_raises(tmp_path):
+  """A corrupt file must raise in the consumer, not silently kill the
+  worker thread and hang the epoch barrier."""
+  import pytest
+  _write_dataset(tmp_path)
+  (tmp_path / 'input' / 'im1.png').write_bytes(b'not a png')
+  pipe = ImageFilesDataPipeline(str(tmp_path), _cfg(data_threads=2))
+  it = pipe.prefetching_batches(seed=0)
+  with pytest.raises(RuntimeError, match='data worker failed'):
+    for _ in range(4):
+      next(it)
