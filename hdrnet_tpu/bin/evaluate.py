@@ -52,10 +52,13 @@ def main(argv=None):
   eval_cfg.fliplr = eval_cfg.flipud = eval_cfg.rotate = False
   pipeline = make_pipeline(args.data_dir, eval_cfg)
 
+  from hdrnet_tpu.training.loop import make_tx
   dummy_low = jnp.zeros((1, s, s, config.model.n_in), jnp.float32)
   dummy_full = jnp.zeros((1, 64, 64, config.model.n_in), jnp.float32)
-  template = abstract_state(model, optax.adam(1e-4), jax.random.PRNGKey(0),
-                          dummy_low, dummy_full)
+  # The optimizer-state template must match what training saved (a
+  # cosine run carries schedule state a bare adam template lacks).
+  template = abstract_state(model, make_tx(config.train),
+                            jax.random.PRNGKey(0), dummy_low, dummy_full)
   state = Checkpointer(args.checkpoint_dir).restore(template)
   assert state is not None, f'no checkpoint in {args.checkpoint_dir}'
   variables = {'params': state.params}

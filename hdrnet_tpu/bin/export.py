@@ -109,10 +109,11 @@ def main(argv=None):
   s = config.model.net_input_size
   n_in = config.model.n_in
 
+  from hdrnet_tpu.training.loop import make_tx
   dummy_low = jnp.zeros((1, s, s, n_in), jnp.float32)
   dummy_full = jnp.zeros((1, 64, 64, n_in), jnp.float32)
-  template = abstract_state(model, optax.adam(1e-4), jax.random.PRNGKey(0),
-                          dummy_low, dummy_full)
+  template = abstract_state(model, make_tx(config.train),
+                            jax.random.PRNGKey(0), dummy_low, dummy_full)
   state = Checkpointer(args.checkpoint_dir).restore(template)
   assert state is not None, f'no checkpoint in {args.checkpoint_dir}'
   variables = {'params': state.params}

@@ -86,8 +86,10 @@ def main(argv=None):
     log.error('no inputs found under %s', args.input)
     return
 
-  # Restore params via a template state built at tiny shapes.
-  tx = optax.adam(1e-4)
+  # Restore params via a template state built at tiny shapes; the
+  # optimizer must match the one training saved (schedule state).
+  from hdrnet_tpu.training.loop import make_tx
+  tx = make_tx(config.train)
   dummy_low = jnp.zeros((1, net_size, net_size, config.model.n_in),
                         jnp.float32)
   dummy_full = jnp.zeros((1, 64, 64, config.model.n_in), jnp.float32)

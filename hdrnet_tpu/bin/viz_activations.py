@@ -62,8 +62,9 @@ def main(argv=None):
   lowres = jnp.asarray(native.resize_nearest(im, (s, s)))[None]
   fullres = jnp.asarray(im)[None]
 
-  template = abstract_state(model, optax.adam(1e-4), jax.random.PRNGKey(0),
-                          lowres, fullres)
+  from hdrnet_tpu.training.loop import make_tx
+  template = abstract_state(model, make_tx(config.train),
+                            jax.random.PRNGKey(0), lowres, fullres)
   state = Checkpointer(args.checkpoint_dir).restore(template)
   assert state is not None, f'no checkpoint in {args.checkpoint_dir}'
   variables = {'params': state.params}

@@ -84,16 +84,18 @@ class Enhancer:
   def __init__(self, checkpoint_dir=None, *, config=None, variables=None,
                use_fused=True, interpret=False):
     if checkpoint_dir is not None:
-      import optax
       from hdrnet_tpu.training.checkpoint import Checkpointer
+      from hdrnet_tpu.training.loop import make_tx
       from hdrnet_tpu.training.step import abstract_state
-      config = Config.load(checkpoint_dir).model
+      full_cfg = Config.load(checkpoint_dir)
+      config = full_cfg.model
       self.model_cfg = config
       model = make_model(config)
       s = config.net_input_size
       dummy_low = jnp.zeros((1, s, s, config.n_in), jnp.float32)
       dummy_full = jnp.zeros((1, 64, 64, config.n_in), jnp.float32)
-      template = abstract_state(model, optax.adam(1e-4),
+      # Template optimizer must match the saved one (schedule state).
+      template = abstract_state(model, make_tx(full_cfg.train),
                                 jax.random.PRNGKey(0), dummy_low, dummy_full)
       state = Checkpointer(checkpoint_dir).restore(template)
       assert state is not None, f'no checkpoint in {checkpoint_dir}'

@@ -92,6 +92,14 @@ def _make_schedule(tc):
       tc.learning_rate, decay, alpha=tc.lr_end / tc.learning_rate)
 
 
+def make_tx(tc):
+  """The optimizer a TrainConfig describes. Restore templates must use
+  this (not a bare optax.adam): a cosine-schedule checkpoint carries a
+  ScaleByScheduleState count that a constant-lr template lacks."""
+  schedule = _make_schedule(tc)
+  return optax.adam(tc.learning_rate if schedule is None else schedule)
+
+
 def _try_device_dataset(pipeline, data_cfg):
   """(DeviceDataset, augment_fn) when the dataset qualifies for device
   residency (data/device.py), else (None, None) with a logged reason."""
@@ -142,7 +150,7 @@ def train(config: Config, checkpoint_dir, data_dir, eval_data_dir=None,
 
   model = make_model(config.model)
   schedule = _make_schedule(tc)
-  tx = optax.adam(tc.learning_rate if schedule is None else schedule)
+  tx = make_tx(tc)
 
   pipeline = make_pipeline(data_dir, config.data)
   log.info('training on %d samples from %s over %d device(s) mesh=%s',

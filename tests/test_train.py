@@ -215,6 +215,11 @@ def test_train_cosine_schedule(dataset, tmp_path):
   state2 = train(cfg(14), str(tmp_path / 'ckpt_cos'), str(dataset))
   assert int(state2.step) == 14
 
+  # Downstream restore templates must match the schedule-bearing
+  # optimizer state (evaluate/run/export/Enhancer use make_tx).
+  from hdrnet_tpu.bin.evaluate import main as eval_main
+  eval_main([str(tmp_path / 'ckpt_cos'), str(dataset), '--limit', '1'])
+
   import json
   recs = [json.loads(l) for l in
           open(tmp_path / 'ckpt_cos' / 'summaries.jsonl')]
