@@ -106,9 +106,13 @@ def test_spatial_mesh_training_matches_pure_dp(cpu_devices, tmp_path):
   s_dp = run((8, 1), 'ckpt_dp')
   s_sp = run((4, 2), 'ckpt_sp')
   assert int(s_dp.step) == int(s_sp.step) == 3
+  # Adam divides tiny grads by sqrt(v), amplifying layout-dependent
+  # reassociation noise to ~1e-4 absolute after 3 steps of lr=3e-3
+  # (~1% of the total parameter movement). A real algorithmic
+  # difference between the shardings shows up at the step scale (3e-3+).
   jax.tree_util.tree_map(
       lambda a, b: np.testing.assert_allclose(
-          np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+          np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-4),
       s_dp.params, s_sp.params)
 
 
