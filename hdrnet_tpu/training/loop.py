@@ -272,6 +272,18 @@ def train(config: Config, checkpoint_dir, data_dir, eval_data_dir=None,
     log.info('  Evaluation PSNR = %.1f dB (%d images)', p, len(psnrs))
     return p
 
+  # Dispatch-runahead bound. jit dispatch returns in ~ms while a step
+  # can take 100+ ms on device, so an unthrottled loop queues thousands
+  # of steps ahead; the first synchronizing fetch (log/checkpoint) then
+  # stalls for the whole backlog — observed as an apparent hang with
+  # the pyramid model (161 ms steps, ~3 ms dispatch). Fetching one
+  # scalar of the (step - K)'th metrics caps in-flight work at K steps
+  # while amortizing the per-fetch sync latency (~24 ms through a
+  # remote-tunnel backend) to ~1 ms/step.
+  import collections
+  runahead = collections.deque()
+  _RUNAHEAD = 32
+
   profiling = False
   try:
     for batch in batches:
@@ -282,6 +294,9 @@ def train(config: Config, checkpoint_dir, data_dir, eval_data_dir=None,
         profiling = True
       state, m = train_step(state, batch)
       step_no += 1
+      runahead.append(m['loss'])
+      if len(runahead) >= _RUNAHEAD:
+        float(runahead.popleft())
       if profiling and step_no >= 15:
         jax.block_until_ready(m)
         jax.profiler.stop_trace()
