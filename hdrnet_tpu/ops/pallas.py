@@ -50,10 +50,20 @@ from jax.experimental.pallas import tpu as pltpu
 from hdrnet_tpu.numerics import EPS
 from hdrnet_tpu.ops import reference as ref
 
-# Hard cap on the per-tile spatial cell window. Shapes that would exceed
-# it (image barely larger than the grid — never the HDRNet regime) fall
-# back to the XLA reference implementation.
-_MAX_CELLS = 8
+# Hard caps on the per-tile spatial cell window; shapes that exceed them
+# (image barely larger than the grid) fall back to the XLA reference
+# implementation. Asymmetric on purpose: the kernel's expensive plane
+# FMAs scale with the Y window (one contraction pass per y-cell), while
+# the X window only sizes the cheap per-row x-interpolation, so a wider
+# X window is nearly free. X=12 notably admits 256x256 with a 16-cell
+# grid (window 10 at the 128-lane minimum tile) — the coarsest level of
+# the Gaussian-pyramid models, which previously fell back to XLA.
+_MAX_CELLS_Y = 8
+_MAX_CELLS_X = 12
+
+
+def _max_cells(lane_dim):
+  return _MAX_CELLS_X if lane_dim else _MAX_CELLS_Y
 
 def _round_up(x, m):
   return -(-x // m) * m
@@ -90,8 +100,8 @@ _TILE_OVERRIDE = None
 
 
 def _choose_tile(extent, n_cells_total, lane_dim):
-  """Pick a tile size: hardware-aligned, window <= _MAX_CELLS, and a
-  small window preferred (the inner loops scale with NCY)."""
+  """Pick a tile size: hardware-aligned, window within the per-axis
+  cap, and a small window preferred (the inner loops scale with NCY)."""
   if _TILE_OVERRIDE is not None:
     forced = _TILE_OVERRIDE[1 if lane_dim else 0]
     return _plan_axis(extent, n_cells_total, forced)
@@ -102,7 +112,7 @@ def _choose_tile(extent, n_cells_total, lane_dim):
   best = None
   for tile in candidates:
     plan = _plan_axis(extent, n_cells_total, tile)
-    if plan.n_cells > _MAX_CELLS:
+    if plan.n_cells > _max_cells(lane_dim):
       continue
     # Prefer the smallest cell window (the kernel inner loops scale
     # with it); break ties toward bigger tiles.
@@ -125,7 +135,7 @@ def plan_tiles(h, w, gh, gw):
     return None
   if yp.tile * xp.tile > _MAX_TILE_PIXELS:
     smaller = _plan_axis(h, gh, max(8, _MAX_TILE_PIXELS // xp.tile))
-    if smaller.n_cells <= _MAX_CELLS:
+    if smaller.n_cells <= _MAX_CELLS_Y:
       yp = smaller
     else:
       return None
@@ -790,7 +800,7 @@ def _sharded_axis_plan(extent_local, extent_total, cells, lane_dim):
   if base is None:
     return None
   n_cells = int(np.ceil((base.tile - 1) * cells / extent_total)) + 2
-  if n_cells > _MAX_CELLS:
+  if n_cells > _max_cells(lane_dim):
     return None
   n_tiles = _round_up(extent_local, base.tile) // base.tile
   return _AxisPlan(base.tile, n_tiles, n_cells, None)
@@ -868,7 +878,7 @@ def _dynamic_axis_plan(extent_padded, extent_min, cells, lane_dim):
   best = None
   for tile in candidates:
     n_cells = int(np.ceil((tile - 1) * cells / extent_min)) + 2
-    if n_cells > _MAX_CELLS:
+    if n_cells > _max_cells(lane_dim):
       continue
     n_tiles = _round_up(extent_padded, tile) // tile
     plan = _AxisPlan(tile, n_tiles, n_cells, None)
@@ -886,7 +896,7 @@ def plan_tiles_dynamic(h_pad, w_pad, h_min, w_min, gh, gw):
   if yp.tile * xp.tile > _MAX_TILE_PIXELS:
     tile = max(8, _MAX_TILE_PIXELS // xp.tile)
     n_cells = int(np.ceil((tile - 1) * gh / h_min)) + 2
-    if n_cells > _MAX_CELLS:
+    if n_cells > _MAX_CELLS_Y:
       return None
     yp = _AxisPlan(tile, _round_up(h_pad, tile) // tile, n_cells, None)
   return yp, xp
@@ -1108,7 +1118,7 @@ def grid_bwd_feasible(h, w, gh, gw):
   pad_x = -(-w // gw) // 2 + 1
   ypo = _plan_axis_offset(h + 2 * pad_y, gh / h, yp.tile, -pad_y)
   xpo = _plan_axis_offset(w + 2 * pad_x, gw / w, xp.tile, -pad_x)
-  return ypo.n_cells <= _MAX_CELLS and xpo.n_cells <= _MAX_CELLS
+  return ypo.n_cells <= _MAX_CELLS_Y and xpo.n_cells <= _MAX_CELLS_X
 
 
 def slice_apply_grid_bwd(grid_shape, guide, image_cf, ct_cf, n_out, n_in,
@@ -1141,7 +1151,7 @@ def slice_apply_grid_bwd(grid_shape, guide, image_cf, ct_cf, n_out, n_in,
   assert base is not None, 'caller must check feasibility'
   yp = _plan_axis_offset(hp, gh / h, base[0].tile, -pad_y)
   xp = _plan_axis_offset(wp, gw / w, base[1].tile, -pad_x)
-  assert yp.n_cells <= _MAX_CELLS and xp.n_cells <= _MAX_CELLS
+  assert yp.n_cells <= _MAX_CELLS_Y and xp.n_cells <= _MAX_CELLS_X
 
   a0 = jnp.asarray(yp.starts)
   b0 = jnp.asarray(xp.starts)

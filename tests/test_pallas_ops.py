@@ -152,7 +152,7 @@ def test_tile_planner_windows():
     plans = pk.plan_tiles(h, w, gh, gw)
     assert plans is not None, (h, w)
     yp, xp = plans
-    assert yp.n_cells <= pk._MAX_CELLS and xp.n_cells <= pk._MAX_CELLS
+    assert yp.n_cells <= pk._MAX_CELLS_Y and xp.n_cells <= pk._MAX_CELLS_X
     assert yp.tile * yp.n_tiles >= h and xp.tile * xp.n_tiles >= w
 
 
@@ -187,3 +187,26 @@ def test_strip_loop_matches_straightline(monkeypatch):
                              atol=1e-4)
   np.testing.assert_allclose(np.asarray(di_s), np.asarray(di_b),
                              atol=1e-4)
+
+
+def test_wide_x_window_small_image():
+  """256-ish images with a 16-cell grid (the coarsest Gaussian-pyramid
+  level) need an x-cell window of ~10 — admitted by the asymmetric
+  _MAX_CELLS_X cap — and must match the oracle, fwd and all VJPs."""
+  case = (1, 16, 16, 4, 3, 3, 250, 256)
+  grid, guide, image = _args(11, *case)
+  assert pk.feasible(250, 256, 16, 16)
+  want = bilateral_slice_apply(grid, guide, image, backend='reference')
+  got = bilateral_slice_apply(grid, guide, image,
+                              backend='pallas_interpret')
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=ATOL)
+
+  def loss(fn):
+    def f(g, gu, im):
+      return jnp.sum(jnp.sin(bilateral_slice_apply(g, gu, im, backend=fn)))
+    return f
+  want_g = jax.grad(loss('reference'), argnums=(0, 1, 2))(grid, guide, image)
+  got_g = jax.grad(loss('pallas_interpret'), argnums=(0, 1, 2))(
+      grid, guide, image)
+  for a, b in zip(got_g, want_g):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
