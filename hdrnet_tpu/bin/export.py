@@ -179,6 +179,18 @@ def main(argv=None):
   else:
     log.info('no fused serving kernel for this config; serve_fn skipped')
 
+  # --- uint8 streaming function: raw frame in, raw frame out; the
+  # downsample, normalize, enhancement, and requantize all run on
+  # device (inference.Enhancer.make_stream_fn). 4x less host-link
+  # traffic than the f32 functions — the native-driver analog of the
+  # reference's GL texture streaming. ---------------------------------
+  # (Exported unconditionally: make_stream_fn serves through the fused
+  # kernel when available and the composite path otherwise.)
+  stream_fn = enh.make_stream_fn((1, h, w, n_in))
+  in5 = [jax.ShapeDtypeStruct((1, h, w, n_in), jnp.uint8)]
+  exported5 = jexport.export(stream_fn)(*in5)
+  write_artifacts(exported5, 'stream_fn', in5)
+
   # --- dynamic-size serving function (bucketed): the image is padded
   # to the bucket containing --fullres and the TRUE size is a traced
   # int32 (2,) operand — one native executable serves every resolution

@@ -44,8 +44,10 @@ struct PJRT_Client {
   PJRT_Device* device_list[1];
 };
 struct PJRT_Buffer {
-  std::vector<float> data;
+  std::vector<float> data;      // f32/s32 elements (s32 rides bitwise)
+  std::vector<uint8_t> u8;      // u8 elements (data empty in that case)
   std::vector<int64_t> dims;
+  bool IsU8() const { return !u8.empty() || data.empty(); }
 };
 struct PJRT_LoadedExecutable {
   int unused;
@@ -99,22 +101,41 @@ PJRT_Error* ClientCompile(PJRT_Client_Compile_Args* args) {
 
 PJRT_Error* BufferFromHostBuffer(
     PJRT_Client_BufferFromHostBuffer_Args* args) {
-  // S32 payloads ride bitwise in the float storage (both 4-byte).
+  // S32 payloads ride bitwise in the float storage (both 4-byte);
+  // U8 uses the byte storage.
   if (args->type != PJRT_Buffer_Type_F32 &&
-      args->type != PJRT_Buffer_Type_S32)
-    return new PJRT_Error{"mock plugin supports F32/S32 only"};
+      args->type != PJRT_Buffer_Type_S32 &&
+      args->type != PJRT_Buffer_Type_U8)
+    return new PJRT_Error{"mock plugin supports F32/S32/U8 only"};
   auto* b = new PJRT_Buffer();
   b->dims.assign(args->dims, args->dims + args->num_dims);
   int64_t n = 1;
   for (int64_t d : b->dims) n *= d;
-  b->data.resize(n);
-  std::memcpy(b->data.data(), args->data, n * sizeof(float));
+  if (args->type == PJRT_Buffer_Type_U8) {
+    b->u8.resize(n);
+    std::memcpy(b->u8.data(), args->data, n);
+  } else {
+    b->data.resize(n);
+    std::memcpy(b->data.data(), args->data, n * sizeof(float));
+  }
   args->buffer = b;
   args->done_with_host_buffer = new PJRT_Event();
   return nullptr;
 }
 
 PJRT_Error* BufferToHostBuffer(PJRT_Buffer_ToHostBuffer_Args* args) {
+  if (!args->src->u8.empty()) {
+    const size_t bytes = args->src->u8.size();
+    if (args->dst == nullptr) {
+      args->dst_size = bytes;
+    } else {
+      if (args->dst_size < bytes)
+        return new PJRT_Error{"dst too small"};
+      std::memcpy(args->dst, args->src->u8.data(), bytes);
+    }
+    args->event = new PJRT_Event();
+    return nullptr;
+  }
   const size_t bytes = args->src->data.size() * sizeof(float);
   if (args->dst == nullptr) {
     args->dst_size = bytes;
@@ -142,9 +163,15 @@ PJRT_Error* ExecutableExecute(PJRT_LoadedExecutable_Execute_Args* args) {
   const PJRT_Buffer* in = args->argument_lists[0][0];
   auto* out = new PJRT_Buffer();
   out->dims = in->dims;
-  out->data.resize(in->data.size());
-  for (size_t i = 0; i < in->data.size(); ++i)
-    out->data[i] = in->data[i] + 1.0f;  // countable: one per execute
+  if (!in->u8.empty()) {
+    out->u8.resize(in->u8.size());
+    for (size_t i = 0; i < in->u8.size(); ++i)
+      out->u8[i] = (uint8_t)(in->u8[i] + 1);  // countable, mod 256
+  } else {
+    out->data.resize(in->data.size());
+    for (size_t i = 0; i < in->data.size(); ++i)
+      out->data[i] = in->data[i] + 1.0f;  // countable: one per execute
+  }
   args->output_lists[0][0] = out;
   if (args->device_complete_events)
     args->device_complete_events[0] = new PJRT_Event();

@@ -121,13 +121,17 @@ void DestroyBuffer(PJRT_Buffer* b) {
 // ---------------------------------------------------------------------
 
 struct TensorSpec {
+  enum DType { kF32, kS32, kU8 };
   std::vector<int64_t> dims;
-  bool is_int = false;  // int32 vs float32 (both 4-byte elements)
+  DType dtype = kF32;
+  bool IsInt() const { return dtype == kS32; }
+  int64_t ElementSize() const { return dtype == kU8 ? 1 : 4; }
   int64_t NumElements() const {
     int64_t n = 1;
     for (int64_t d : dims) n *= d;
     return n;
   }
+  int64_t NumBytes() const { return NumElements() * ElementSize(); }
 };
 
 std::vector<TensorSpec> ParseSpecs(const std::string& json,
@@ -156,12 +160,16 @@ std::vector<TensorSpec> ParseSpecs(const std::string& json,
     size_t dt_at = json.find("\"dtype\"", s_close);
     if (dt_at != std::string::npos && dt_at < end) {
       if (json.find("float32", dt_at) == dt_at + 10) {
-        spec.is_int = false;
+        spec.dtype = TensorSpec::kF32;
       } else if (json.find("int32", dt_at) == dt_at + 10) {
         // e.g. the traced true-size operand of serve_any_fn exports.
-        spec.is_int = true;
+        spec.dtype = TensorSpec::kS32;
+      } else if (json.find("uint8", dt_at) == dt_at + 10) {
+        // stream_fn exports: raw uint8 frames in and out (4x less
+        // host-link traffic than f32 for the same image).
+        spec.dtype = TensorSpec::kU8;
       } else {
-        Die("only float32/int32 tensors supported; edit the export");
+        Die("only float32/int32/uint8 tensors supported; edit the export");
       }
     }
     specs.push_back(spec);
@@ -364,26 +372,25 @@ int main(int argc, char** argv) {
   // ---- upload inputs ---------------------------------------------------
   if (!input_paths.empty() && input_paths.size() != in_specs.size())
     Die("--inputs count does not match manifest input count");
-  // Elements are 4 bytes for both dtypes; int32 payloads live bitwise
-  // in the float storage.
-  std::vector<std::vector<float>> host_inputs;
+  // Byte storage: f32/s32 are 4-byte elements (s32 lives bitwise in
+  // the same layout), u8 is 1 byte.
+  std::vector<std::vector<uint8_t>> host_inputs;
   for (size_t i = 0; i < in_specs.size(); ++i) {
-    std::vector<float> buf(in_specs[i].NumElements());
+    std::vector<uint8_t> buf(in_specs[i].NumBytes());
     if (!input_paths.empty()) {
       std::ifstream f(input_paths[i], std::ios::binary);
       if (!f) Die("cannot read input " + input_paths[i]);
-      f.read(reinterpret_cast<char*>(buf.data()),
-             buf.size() * sizeof(float));
-      if (f.gcount() != (std::streamsize)(buf.size() * sizeof(float)))
+      f.read(reinterpret_cast<char*>(buf.data()), buf.size());
+      if (f.gcount() != (std::streamsize)buf.size())
         Die("input file " + input_paths[i] + " too small");
-    } else if (in_specs[i].is_int) {
+    } else if (in_specs[i].IsInt()) {
       // Synthetic value for an integer operand: only the serve_any_fn
       // convention is guessable — a 2-element true-(H, W) scalar pair,
       // defaulted to the padded extent of the largest rank-4 float
       // input (i.e. "the whole padded frame is valid").
       const TensorSpec* img = nullptr;
       for (const auto& s : in_specs)
-        if (!s.is_int && s.dims.size() == 4 &&
+        if (!s.IsInt() && s.dims.size() == 4 &&
             (!img || s.NumElements() > img->NumElements()))
           img = &s;
       if (in_specs[i].NumElements() != 2 || img == nullptr)
@@ -394,12 +401,19 @@ int main(int argc, char** argv) {
       std::fprintf(stderr,
                    "int32 input %zu defaulted to full padded extent "
                    "(%d, %d)\n", i, hw[0], hw[1]);
+    } else if (in_specs[i].dtype == TensorSpec::kU8) {
+      // Synthetic photo-like uint8 frame.
+      int64_t n = in_specs[i].NumElements();
+      for (int64_t j = 0; j < n; ++j)
+        buf[j] = (uint8_t)(127.5f + 127.5f * std::sin(j * 7.61e-5f) *
+                                        std::cos(j * 1.13e-3f));
     } else {
       // Synthetic photo-like input: smooth gradients, [0, 1].
-      int64_t n = (int64_t)buf.size();
+      float* fb = reinterpret_cast<float*>(buf.data());
+      int64_t n = in_specs[i].NumElements();
       for (int64_t j = 0; j < n; ++j)
-        buf[j] = 0.5f + 0.5f * std::sin(j * 7.61e-5f) *
-                            std::cos(j * 1.13e-3f);
+        fb[j] = 0.5f + 0.5f * std::sin(j * 7.61e-5f) *
+                           std::cos(j * 1.13e-3f);
     }
     host_inputs.push_back(std::move(buf));
   }
@@ -411,8 +425,9 @@ int main(int argc, char** argv) {
     args.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
     args.client = client;
     args.data = host_inputs[i].data();
-    args.type = in_specs[i].is_int ? PJRT_Buffer_Type_S32
-                                   : PJRT_Buffer_Type_F32;
+    args.type = in_specs[i].dtype == TensorSpec::kS32 ? PJRT_Buffer_Type_S32
+                : in_specs[i].dtype == TensorSpec::kU8 ? PJRT_Buffer_Type_U8
+                                                       : PJRT_Buffer_Type_F32;
     args.dims = in_specs[i].dims.data();
     args.num_dims = in_specs[i].dims.size();
     args.host_buffer_semantics =
@@ -436,7 +451,8 @@ int main(int argc, char** argv) {
   int chain_idx = -1;
   if (allow_chain)
     for (size_t i = 0; i < in_specs.size(); ++i)
-      if (!in_specs[i].is_int && in_specs[i].dims == out_specs[0].dims) {
+      if (!in_specs[i].IsInt() && in_specs[i].dims == out_specs[0].dims &&
+          in_specs[i].dtype == out_specs[0].dtype) {
         chain_idx = (int)i;
         break;
       }
@@ -498,7 +514,7 @@ int main(int argc, char** argv) {
     }
   };
 
-  std::vector<float> host_out(out_specs[0].NumElements());
+  std::vector<uint8_t> host_out(out_specs[0].NumBytes());
   // Dense row-major host layout: with a null host_layout the copy
   // arrives in the buffer's device layout (TPU-tiled) — the values are
   // right but the element order is scrambled. Expressed as a tile-less
@@ -522,7 +538,7 @@ int main(int argc, char** argv) {
     args.src = outputs[0];
     args.host_layout = &layout;
     args.dst = host_out.data();
-    args.dst_size = host_out.size() * sizeof(float);
+    args.dst_size = host_out.size();
     CHECK_PJRT(g_api->PJRT_Buffer_ToHostBuffer(&args));
     AwaitEvent(args.event);
     for (PJRT_Buffer* b : graveyard) DestroyBuffer(b);
@@ -555,17 +571,30 @@ int main(int argc, char** argv) {
   double t_fetch = NowMs();
 
   double sum = 0;
-  float mn = host_out.empty() ? 0.f : host_out[0], mx = mn;
-  for (float v : host_out) {
-    sum += v;
-    mn = std::min(mn, v);
-    mx = std::max(mx, v);
+  float mn = 0.f, mx = 0.f;
+  const int64_t out_n = out_specs[0].NumElements();
+  if (out_specs[0].dtype == TensorSpec::kU8) {
+    mn = mx = out_n ? (float)host_out[0] : 0.f;
+    for (int64_t j = 0; j < out_n; ++j) {
+      float v = (float)host_out[j];
+      sum += v;
+      mn = std::min(mn, v);
+      mx = std::max(mx, v);
+    }
+  } else {
+    const float* fo = reinterpret_cast<const float*>(host_out.data());
+    mn = mx = out_n ? fo[0] : 0.f;
+    for (int64_t j = 0; j < out_n; ++j) {
+      sum += fo[j];
+      mn = std::min(mn, fo[j]);
+      mx = std::max(mx, fo[j]);
+    }
   }
 
   if (!output_path.empty()) {
     std::ofstream f(output_path, std::ios::binary);
     f.write(reinterpret_cast<const char*>(host_out.data()),
-            host_out.size() * sizeof(float));
+            host_out.size());
   }
 
   const double readback_ms = t_fetch - t_fetch_start;
@@ -579,7 +608,7 @@ int main(int argc, char** argv) {
       "\"out_min\": %.6f, \"out_max\": %.6f}",
       t_init - t0, t_compile - t_init, t_upload - t_compile, forward_ms,
       readback_ms, forward_ms > 0 ? 1000.0 / forward_ms : 0.0, iters,
-      sum / host_out.size(), mn, mx);
+      out_n ? sum / out_n : 0.0, mn, mx);
   std::printf("%s\n", report);
   if (!report_path.empty()) {
     std::ofstream f(report_path);

@@ -163,3 +163,33 @@ def test_manifest_parse_then_plugin_load(binary, tmp_path):
       capture_output=True, text=True)
   assert r.returncode == 1
   assert 'dlopen' in r.stderr
+
+
+def test_uint8_stream_module(binary, mock_plugin, tmp_path):
+  """uint8 manifests (stream_fn exports): byte-sized upload/readback,
+  chaining on dtype+dims, countable increments mod 256."""
+  mod = tmp_path / 'm.mlir'
+  mod.write_text('module {}')
+  (tmp_path / 'compile_options.pb').write_bytes(b'')
+  manifest = {
+      'name': 'm',
+      'inputs': [{'shape': [1, 4, 6, 3], 'dtype': 'uint8'}],
+      'outputs': [{'shape': [1, 4, 6, 3], 'dtype': 'uint8'}],
+  }
+  (tmp_path / 'm.manifest.json').write_text(json.dumps(manifest))
+  x = np.full((1, 4, 6, 3), 10, np.uint8)
+  x.tofile(tmp_path / 'in0.bin')
+  burn, iters = 1, 3
+  r = subprocess.run(
+      [binary, str(mod), '--plugin', mock_plugin, '--burn', str(burn),
+       '--iters', str(iters), '--inputs', str(tmp_path / 'in0.bin'),
+       '--output', str(tmp_path / 'out.bin')],
+      capture_output=True, text=True)
+  assert r.returncode == 0, r.stderr
+  assert 'chaining output 0 -> input 0' in r.stderr
+  report = json.loads(r.stdout.strip())
+  expect = 10 + burn + 9 * iters  # same execute count as the f32 test
+  assert report['out_mean'] == pytest.approx(expect, abs=1e-5)
+  out = np.fromfile(tmp_path / 'out.bin', np.uint8)
+  assert out.shape == (72,)
+  np.testing.assert_array_equal(out, expect)

