@@ -33,7 +33,6 @@ def main(argv=None):
 
   import jax
   import jax.numpy as jnp
-  import optax
   from hdrnet_tpu.config import Config
   from hdrnet_tpu.data import make_pipeline
   from hdrnet_tpu.models import make_model

@@ -98,7 +98,6 @@ def main(argv=None):
   import jax
   import jax.numpy as jnp
   from jax import export as jexport
-  import optax
   from hdrnet_tpu.config import Config
   from hdrnet_tpu.models import make_model
   from hdrnet_tpu.training.checkpoint import Checkpointer

@@ -73,7 +73,6 @@ def main(argv=None):
   from hdrnet_tpu.models import make_model
   from hdrnet_tpu.training.checkpoint import Checkpointer
   from hdrnet_tpu.training.step import abstract_state
-  import optax
 
   config = Config.load(args.checkpoint_dir)
   model = make_model(config.model)

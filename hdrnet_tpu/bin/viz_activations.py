@@ -46,7 +46,6 @@ def main(argv=None):
 
   import jax
   import jax.numpy as jnp
-  import optax
   from hdrnet_tpu import native
   from hdrnet_tpu.config import Config
   from hdrnet_tpu.data import images

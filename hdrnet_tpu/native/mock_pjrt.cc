@@ -47,7 +47,6 @@ struct PJRT_Buffer {
   std::vector<float> data;      // f32/s32 elements (s32 rides bitwise)
   std::vector<uint8_t> u8;      // u8 elements (data empty in that case)
   std::vector<int64_t> dims;
-  bool IsU8() const { return !u8.empty() || data.empty(); }
 };
 struct PJRT_LoadedExecutable {
   int unused;
@@ -152,6 +151,8 @@ PJRT_Error* BufferDestroy(PJRT_Buffer_Destroy_Args* args) {
   // Poison before freeing: a use-after-destroy in the driver (e.g. a
   // graveyard bug) then corrupts results instead of passing silently.
   std::fill(args->buffer->data.begin(), args->buffer->data.end(), -1e30f);
+  std::fill(args->buffer->u8.begin(), args->buffer->u8.end(),
+            (uint8_t)0xEE);
   delete args->buffer;
   return nullptr;
 }
