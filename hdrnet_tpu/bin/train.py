@@ -37,6 +37,10 @@ def build_parser():
   t.add_argument('--lr_decay_steps', default=None, type=int)
   t.add_argument('--lr_end', default=0.0, type=float)
   t.add_argument('--lr_warmup_steps', default=0, type=int)
+  t.add_argument('--guide_lr_scale', default=1.0, type=float,
+                 help='multiply the guide modules\' lr (1.0 = reference '
+                      'behavior); <1 damps the curve-guide range '
+                      'collapse documented in PARITY.md')
   t.add_argument('--max_steps', default=None, type=int)
   t.add_argument('--log_interval', type=float, default=1,
                  help='seconds between log lines')
@@ -121,6 +125,7 @@ def config_from_args(args):
           lr_decay_steps=args.lr_decay_steps,
           lr_end=args.lr_end,
           lr_warmup_steps=args.lr_warmup_steps,
+          guide_lr_scale=args.guide_lr_scale,
           log_interval=args.log_interval,
           summary_interval=args.summary_interval,
           checkpoint_interval=args.checkpoint_interval,

@@ -99,6 +99,11 @@ class TrainConfig:
   lr_decay_steps: Optional[int] = None
   lr_end: float = 0.0
   lr_warmup_steps: int = 0
+  # Multiply the guide modules' learning rate (diagnosis: the curve
+  # guide's dynamic range collapses early under the full lr, costing
+  # ~1.5 dB of grid depth resolution — PARITY.md "Quality parity").
+  # 1.0 = reference behavior (single global lr).
+  guide_lr_scale: float = 1.0
   log_interval: int = 1          # seconds
   summary_interval: int = 120    # seconds
   checkpoint_interval: int = 600  # seconds

@@ -95,9 +95,21 @@ def _make_schedule(tc):
 def make_tx(tc):
   """The optimizer a TrainConfig describes. Restore templates must use
   this (not a bare optax.adam): a cosine-schedule checkpoint carries a
-  ScaleByScheduleState count that a constant-lr template lacks."""
+  ScaleByScheduleState count, and guide_lr_scale != 1 a multi_transform
+  tree, that a plain adam template lacks."""
   schedule = _make_schedule(tc)
-  return optax.adam(tc.learning_rate if schedule is None else schedule)
+  lr = tc.learning_rate if schedule is None else schedule
+  base = optax.adam(lr)
+  if tc.guide_lr_scale == 1.0:
+    return base
+  guide_tx = optax.chain(optax.adam(lr), optax.scale(tc.guide_lr_scale))
+
+  def labels(params):
+    # Top-level Flax modules: 'guide' / 'guide_level_{i}' vs the rest.
+    return {k: 'guide' if str(k).startswith('guide') else 'rest'
+            for k in params}
+
+  return optax.multi_transform({'guide': guide_tx, 'rest': base}, labels)
 
 
 def _try_device_dataset(pipeline, data_cfg):

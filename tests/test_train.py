@@ -267,3 +267,37 @@ def test_fit_grid_cli(dataset, capsys):
   res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
   assert res['n_images'] == 1
   assert res['mean_oracle_psnr'] > res['mean_identity_psnr'] + 5.0
+
+
+def test_guide_lr_scale(dataset, tmp_path):
+  """guide_lr_scale=0 freezes the guide modules while the rest trains;
+  the scaled-optimizer checkpoint restores through the evaluate CLI
+  (make_tx reproduces the multi_transform state tree)."""
+  import jax
+  from hdrnet_tpu.training.loop import train
+
+  def cfg(steps, scale):
+    c = _config(steps)
+    c.train.guide_lr_scale = scale
+    return c
+
+  state = train(cfg(5, 0.0), str(tmp_path / 'ckpt_gls'), str(dataset))
+  import jax.numpy as jnp
+  from hdrnet_tpu.models import make_model
+  from hdrnet_tpu.config import Config
+  config = Config.load(str(tmp_path / 'ckpt_gls'))
+  model = make_model(config.model)
+  init = model.init(jax.random.PRNGKey(config.train.seed),
+                    jnp.zeros((2, 32, 32, 3)), jnp.zeros((2, 64, 64, 3)))
+  # Guide frozen at init; coefficients moved.
+  jax.tree_util.tree_map(
+      lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                 np.asarray(b)),
+      state.params['guide'], init['params']['guide'])
+  diffs = jax.tree_util.tree_map(
+      lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+      state.params['coefficients'], init['params']['coefficients'])
+  assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+  from hdrnet_tpu.bin.evaluate import main as eval_main
+  eval_main([str(tmp_path / 'ckpt_gls'), str(dataset), '--limit', '1'])
