@@ -112,9 +112,14 @@ def make_tx(tc):
   return optax.multi_transform({'guide': guide_tx, 'rest': base}, labels)
 
 
-def _try_device_dataset(pipeline, data_cfg):
+def _try_device_dataset(pipeline, data_cfg, sharding=None):
   """(DeviceDataset, augment_fn) when the dataset qualifies for device
-  residency (data/device.py), else (None, None) with a logged reason."""
+  residency (data/device.py), else (None, None) with a logged reason.
+
+  `sharding` places the resident arrays at upload time. On a multi-
+  device mesh this MUST be the step's expected sharding (replicated):
+  uncommitted single-device arrays would otherwise be re-resharded from
+  device 0 on every jitted step — for the whole resident dataset."""
   from hdrnet_tpu.data.device import (DeviceDataset, load_pairs,
                                       make_device_augment)
   from hdrnet_tpu.data.pipeline import ImageFilesDataPipeline
@@ -123,7 +128,8 @@ def _try_device_dataset(pipeline, data_cfg):
                 'the host pipeline', type(pipeline).__name__)
     return None, None
   try:
-    dds = DeviceDataset(load_pairs(pipeline), data_cfg)
+    dds = DeviceDataset(load_pairs(pipeline), data_cfg,
+                        sharding=sharding)
     augment = make_device_augment(data_cfg.output_resolution,
                                   data_cfg.net_input_size,
                                   data_cfg.rotate)
@@ -173,7 +179,11 @@ def train(config: Config, checkpoint_dir, data_dir, eval_data_dir=None,
   bs = config.data.batch_size
   dds = None
   if config.data.device_data:
-    dds, augment = _try_device_dataset(pipeline, config.data)
+    if mesh_shape[1] > 1 and config.data.output_resolution[0] % mesh_shape[1]:
+      raise ValueError(
+          f'full-res height {config.data.output_resolution[0]} not '
+          f'divisible by spatial mesh degree {mesh_shape[1]}')
+    dds, augment = _try_device_dataset(pipeline, config.data, sharding=rep)
 
   if dds is not None:
     # Device-resident dataset: batches are tiny param dicts; the jitted
@@ -250,7 +260,8 @@ def train(config: Config, checkpoint_dir, data_dir, eval_data_dir=None,
     eval_pipeline = make_pipeline(eval_data_dir, eval_cfg)
     eval_dds = None
     if eval_cfg.device_data:
-      eval_dds, eval_augment = _try_device_dataset(eval_pipeline, eval_cfg)
+      eval_dds, eval_augment = _try_device_dataset(eval_pipeline, eval_cfg,
+                                                   sharding=rep)
     if eval_dds is not None:
       base_eval = make_eval_step(model)
 

@@ -158,10 +158,10 @@ def import_tf_checkpoint(tf_ckpt_path, output_dir, config):
   """Full migration: TF checkpoint -> orbax checkpoint + config.json."""
   import jax
   import jax.numpy as jnp
-  import optax
   from hdrnet_tpu.config import Config
   from hdrnet_tpu.models import make_model
   from hdrnet_tpu.training.checkpoint import Checkpointer
+  from hdrnet_tpu.training.loop import make_tx
   from hdrnet_tpu.training.step import create_state
 
   tf_vars = load_tf_checkpoint(tf_ckpt_path)
@@ -171,8 +171,11 @@ def import_tf_checkpoint(tf_ckpt_path, output_dir, config):
   s = config.model.net_input_size
   low = jnp.zeros((1, s, s, config.model.n_in), jnp.float32)
   full = jnp.zeros((1, 64, 64, config.model.n_in), jnp.float32)
-  state = create_state(model, optax.adam(1e-4), jax.random.PRNGKey(0),
-                       low, full)
+  # The optimizer state must be built from the config's actual optimizer
+  # (make_tx) — restore sites derive their template the same way, and a
+  # bare adam tree would not match a cosine-schedule/guide-lr config.
+  state = create_state(model, make_tx(config.train),
+                       jax.random.PRNGKey(0), low, full)
   # Shape-check imported tree against the freshly-initialized one.
   ref_shapes = jax.tree_util.tree_map(jnp.shape, state.params)
   got_shapes = jax.tree_util.tree_map(np.shape, variables['params'])

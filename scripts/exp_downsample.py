@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Round-3 experiment: serving e2e with candidate downsample paths."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+  import jax
+  import jax.numpy as jnp
+  from hdrnet_tpu.config import ModelConfig
+  from hdrnet_tpu.models import make_model
+  from hdrnet_tpu.inference import Enhancer
+  from hdrnet_tpu.ops import pallas as pk
+  from hdrnet_tpu.ops.downsample import nearest_lowres_cf
+  from hdrnet_tpu.ops.resize import _nearest_indices, resize_nearest
+
+  rng = np.random.RandomState(0)
+  cfg = ModelConfig(model_name='HDRNetCurves')
+  model = make_model(cfg)
+  H, W = 2160, 3840
+  full4k = jnp.asarray(rng.rand(1, H, W, 3), np.float32)
+  lowres = jnp.asarray(rng.rand(1, 256, 256, 3), np.float32)
+  variables = model.init(jax.random.PRNGKey(0), lowres, full4k)
+  enh = Enhancer(config=cfg, variables=variables)
+  mode, gparams = enh._guide_args()[0]
+
+  def e2e_cf_pallas_ds(x):
+    cf = jnp.transpose(x, (0, 3, 1, 2))
+    low_cf = nearest_lowres_cf(cf, 256)
+    low = jnp.transpose(low_cf, (0, 2, 3, 1))
+    grid = enh._backbone_grid(low)
+    b, gh, gw, gd, no, ni1 = grid.shape
+    packed = grid.reshape(b, gh, gw, gd, no * ni1)
+    out_cf = pk.enhance_fused(packed, cf, gparams, mode, no, cfg.n_in,
+                              True, clip_output=True)
+    return jnp.transpose(out_cf, (0, 2, 3, 1))
+
+  # exactness of the full path vs the current serving path
+  ref = enh._forward(resize_nearest(full4k, (256, 256)), full4k, clip=True)
+  got = e2e_cf_pallas_ds(full4k)
+  d = float(jnp.max(jnp.abs(ref - got)))
+  print(f'pallas-ds e2e max|diff| vs current path: {d:.2e}', flush=True)
+
+  n = 100
+  def fb(fn, x0, repeats=3):
+    @jax.jit
+    def chain(x):
+      for _ in range(n):
+        x = fn(x)
+      return x.reshape(-1)[0]
+    t0 = time.time(); float(chain(x0))
+    comp = time.time() - t0
+    ts = []
+    for _ in range(repeats):
+      t0 = time.time(); float(chain(x0)); ts.append(time.time() - t0)
+    return sorted(ts)[len(ts) // 2] / n, comp
+
+  t, c = fb(e2e_cf_pallas_ds, full4k)
+  print(f'e2e pallas-ds : {t*1e3:6.3f} ms ({1/t:.1f} fps) compile {c:.0f}s',
+        flush=True)
+
+  # standalone ds cost (feedback via kernel-less chain is collapsible, so
+  # derive from e2e difference instead): e2e without ds (lowres given)
+  def e2e_given(x):
+    return enh._forward(lowres, x, clip=True)
+  t2, c = fb(e2e_given, full4k)
+  print(f'e2e low-given : {t2*1e3:6.3f} ms ({1/t2:.1f} fps) '
+        f'-> ds+coeffdiff {(t-t2)*1e3:6.3f} ms', flush=True)
+
+
+if __name__ == '__main__':
+  main()

@@ -83,7 +83,7 @@ def main():
       def chain(x):
         for _ in range(n):
           x = pk.enhance_fused(grid, x, gparams, 'curves', 3, 3, True,
-                               clip_output=True, strip=strip or None)
+                               clip_output=True, strip=strip)
         return x.reshape(-1)[0]
 
       t0 = time.time()
