@@ -58,8 +58,9 @@ def dump_guide_params(params, batch_stats, model_name, out_dir):
 
   def dump_nn_guide(gp, gs, prefix):
     # Fold the center-only BN into conv1: w' = w / sqrt(var + eps),
-    # b' = beta - mean / sqrt(var + eps) (freeze_graph.py:141-142).
-    eps = 1e-5
+    # b' = beta - mean / sqrt(var + eps) (freeze_graph.py:141-142;
+    # eps = tf.contrib.layers.batch_norm default, matching training).
+    eps = 1e-3
     w = np.squeeze(np.asarray(gp['conv1']['conv']['kernel']))
     beta = np.asarray(gp['conv1']['bn']['bias'])
     mean = np.asarray(gs['conv1']['bn']['mean'])

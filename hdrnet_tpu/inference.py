@@ -27,9 +27,9 @@ from hdrnet_tpu.models import make_model
 from hdrnet_tpu.models.hdrnet import (HDRNetCurves, HDRNetGaussianPyrNN,
                                       HDRNetPointwiseNNGuide)
 from hdrnet_tpu.ops import pallas as pk
-from hdrnet_tpu.ops.resize import resize_bilinear
+from hdrnet_tpu.ops.resize import resize_bilinear, resize_nearest
 
-_BN_EPS = 1e-5
+_BN_EPS = 1e-3  # tf.contrib.layers.batch_norm default (the reference's)
 
 log = logging.getLogger('hdrnet_tpu.inference')
 
@@ -145,47 +145,55 @@ class Enhancer:
                                    self.model.n_in_tot)
     return backbone.apply(bb_vars, lowres)
 
+  def _fused_forward_cf(self, lowres, img_cf, clip=False):
+    """Single-grid fused forward on a channel-first (B, C, H, W) frame.
+    Returns the enhanced frame channel-first (the kernel's layout)."""
+    cfg = self.model_cfg
+    grid = self._backbone_grid(lowres)
+    b, gh, gw, gd, no, ni1 = grid.shape
+    mode, gparams = self._guide_args()[0]
+    packed = grid.reshape(b, gh, gw, gd, no * ni1)
+    # Serving clamp done in the kernel epilogue (free; a separate XLA
+    # clip is a full-image read+write pass, ~0.25 ms at 4K).
+    return pk.enhance_fused(packed, img_cf, gparams, mode, no,
+                            cfg.n_in, True, interpret=self.interpret,
+                            clip_output=clip)
+
   def _fused_forward(self, lowres, fullres, clip=False):
     model, cfg = self.model, self.model_cfg
+    if not isinstance(self.model, HDRNetGaussianPyrNN):
+      img_cf = jnp.transpose(fullres, (0, 3, 1, 2))
+      out_cf = self._fused_forward_cf(lowres, img_cf, clip=clip)
+      return jnp.transpose(out_cf, (0, 2, 3, 1))
+
     grid = self._backbone_grid(lowres)
     b, gh, gw, gd, no, ni1 = grid.shape
     guide_args = self._guide_args()
 
-    if isinstance(self.model, HDRNetGaussianPyrNN):
-      n_scales = self.model.n_scales
-      levels = [fullres]
-      for _ in range(n_scales - 1):
-        h, w = levels[-1].shape[1:3]
-        levels.append(resize_bilinear(levels[-1], (h // 2, w // 2),
-                                      align_corners=True))
-      current = None
-      for il, lvl in enumerate(levels[::-1]):
-        mode, gparams = guide_args[::-1][il]
-        sub = grid[:, :, :, :, il * 3:(il + 1) * 3, :]
-        packed = sub.reshape(b, gh, gw, gd, 3 * ni1)
-        img_cf = jnp.transpose(lvl, (0, 3, 1, 2))
-        out_cf = pk.enhance_fused(packed, img_cf, gparams, mode, 3,
-                                  cfg.n_in, True,
-                                  interpret=self.interpret)
-        out = jnp.transpose(out_cf, (0, 2, 3, 1))
-        if current is None:
-          current = out
-        else:
-          current = resize_bilinear(current, out.shape[1:3],
-                                    align_corners=True) + out
-      # Levels are summed before clamping, so the clip cannot ride the
-      # per-level kernels.
-      return jnp.clip(current, 0.0, 1.0) if clip else current
-
-    mode, gparams = guide_args[0]
-    packed = grid.reshape(b, gh, gw, gd, no * ni1)
-    img_cf = jnp.transpose(fullres, (0, 3, 1, 2))
-    # Serving clamp done in the kernel epilogue (free; a separate XLA
-    # clip is a full-image read+write pass, ~0.25 ms at 4K).
-    out_cf = pk.enhance_fused(packed, img_cf, gparams, mode, no,
-                              cfg.n_in, True, interpret=self.interpret,
-                              clip_output=clip)
-    return jnp.transpose(out_cf, (0, 2, 3, 1))
+    n_scales = self.model.n_scales
+    levels = [fullres]
+    for _ in range(n_scales - 1):
+      h, w = levels[-1].shape[1:3]
+      levels.append(resize_bilinear(levels[-1], (h // 2, w // 2),
+                                    align_corners=True))
+    current = None
+    for il, lvl in enumerate(levels[::-1]):
+      mode, gparams = guide_args[::-1][il]
+      sub = grid[:, :, :, :, il * 3:(il + 1) * 3, :]
+      packed = sub.reshape(b, gh, gw, gd, 3 * ni1)
+      img_cf = jnp.transpose(lvl, (0, 3, 1, 2))
+      out_cf = pk.enhance_fused(packed, img_cf, gparams, mode, 3,
+                                cfg.n_in, True,
+                                interpret=self.interpret)
+      out = jnp.transpose(out_cf, (0, 2, 3, 1))
+      if current is None:
+        current = out
+      else:
+        current = resize_bilinear(current, out.shape[1:3],
+                                  align_corners=True) + out
+    # Levels are summed before clamping, so the clip cannot ride the
+    # per-level kernels.
+    return jnp.clip(current, 0.0, 1.0) if clip else current
 
   def _feasible_at(self, h, w):
     """Kernel feasibility for this model at full resolution (h, w) —
@@ -221,6 +229,41 @@ class Enhancer:
       self._jitted[key] = jax.jit(fn)
     return self._jitted[key](lowres, fullres)
 
+  # -- whole-frame serving (downsample included) ------------------------
+
+  def _process_fn(self, lowres=None):
+    """The per-frame pipeline with the preview downsample inside — the
+    equivalent of the reference processor's process() (processor.cc:
+    103-137, whose measured iteration includes cv::resize). The frame
+    is transposed to the kernel's channel-first layout ONCE and the
+    256x256 preview is cut from it by the Pallas nearest-downsample
+    kernel (ops/downsample.py) — bit-exact to resize_nearest but ~3x
+    faster at 4K than XLA's gather lowering."""
+    from hdrnet_tpu.ops.downsample import nearest_lowres_cf
+    s = self.model_cfg.net_input_size
+
+    def fn(frame, clip=True):
+      if (self.use_fused
+          and not isinstance(self.model, HDRNetGaussianPyrNN)
+          and self._feasible_at(frame.shape[1], frame.shape[2])):
+        cf = jnp.transpose(frame, (0, 3, 1, 2))
+        low_cf = nearest_lowres_cf(cf, s, interpret=self.interpret)
+        low = jnp.transpose(low_cf, (0, 2, 3, 1))
+        out_cf = self._fused_forward_cf(low, cf, clip=clip)
+        return jnp.transpose(out_cf, (0, 2, 3, 1))
+      low = resize_nearest(frame, (s, s))
+      return self._forward(low, frame, clip=clip)
+    return fn
+
+  def process(self, frame, clip=True):
+    """Enhance one (B, H, W, C) float frame end-to-end (downsample +
+    coefficients + guide + slice-apply), one jit per frame shape."""
+    key = ('process', frame.shape, bool(clip))
+    if key not in self._jitted:
+      fn = self._process_fn()
+      self._jitted[key] = jax.jit(lambda f: fn(f, clip=clip))
+    return self._jitted[key](frame)
+
   # -- streaming (video / camera feed) serving --------------------------
 
   def make_stream_fn(self, full_shape):
@@ -235,14 +278,12 @@ class Enhancer:
     """
     key = ('stream', tuple(full_shape))
     if key not in self._jitted:
-      from hdrnet_tpu.ops.resize import resize_nearest
-      s = self.model_cfg.net_input_size
+      process = self._process_fn()
 
       @jax.jit
       def fn(frame_u8):
         full = frame_u8.astype(jnp.float32) / 255.0
-        low = resize_nearest(full, (s, s))
-        out = self._forward(low, full, clip=True)
+        out = process(full, clip=True)
         return (out * 255.0 + 0.5).astype(jnp.uint8)
 
       self._jitted[key] = fn
@@ -273,16 +314,23 @@ class Enhancer:
   # -- bucketed dynamic-shape serving -----------------------------------
 
   def _bucketable(self, h, w):
-    """One fused compile per bucket requires: a single-grid fused model
-    and a feasible offset-universal tile plan for the bucket."""
-    if not self.use_fused or isinstance(self.model, HDRNetGaussianPyrNN):
+    """One fused compile per bucket requires: a fused-capable model and
+    a feasible offset-universal tile plan for the bucket — for pyramid
+    models, at EVERY level (each level's bucket is the parent's halved;
+    ladder rungs are all divisible by 4 so the halvings stay exact)."""
+    if not self.use_fused:
       return None
     hb, wb = bucket_extent(h), bucket_extent(w)
     if hb is None or wb is None:
       return None
     sb = self.model_cfg.spatial_bin
-    if not pk.feasible_dynamic(hb[0], wb[0], hb[1], wb[1], sb, sb):
-      return None
+    n_levels = (self.model.n_scales
+                if isinstance(self.model, HDRNetGaussianPyrNN) else 1)
+    for lvl in range(n_levels):
+      if not pk.feasible_dynamic(hb[0] >> lvl, wb[0] >> lvl,
+                                 max(1, hb[1] >> lvl),
+                                 max(1, wb[1] >> lvl), sb, sb):
+        return None
     return hb, wb
 
   def enhance_any(self, lowres, fullres, clip=True):
@@ -328,7 +376,44 @@ class Enhancer:
     model, cfg = self.model, self.model_cfg
     grid = self._backbone_grid(lowres)
     b, gh, gw, gd, no, ni1 = grid.shape
-    mode, gparams = self._guide_args()[0]
+    guide_args = self._guide_args()
+
+    if isinstance(model, HDRNetGaussianPyrNN):
+      from hdrnet_tpu.ops.resize import resize_bilinear_traced
+      n_scales = model.n_scales
+      # Padded pyramid with traced true extents: level l is the exact
+      # bilinear(align_corners) halving of level l-1's TRUE image
+      # (models.py:252-265); pixels beyond the true extent are garbage
+      # that nothing downstream reads (taps are clipped to true-1).
+      levels = [(padded, hw)]
+      for l in range(1, n_scales):
+        prev, prev_hw = levels[-1]
+        true_hw = prev_hw // 2
+        nxt = resize_bilinear_traced(prev, (h_b >> l, w_b >> l),
+                                     prev_hw, true_hw)
+        levels.append((nxt, true_hw))
+      current = None
+      for il, (lvl, lvl_hw) in enumerate(levels[::-1]):
+        l = n_scales - 1 - il
+        mode, gparams = guide_args[l]
+        sub = grid[:, :, :, :, il * 3:(il + 1) * 3, :]
+        packed = sub.reshape(b, gh, gw, gd, 3 * ni1)
+        img_cf = jnp.transpose(lvl, (0, 3, 1, 2))
+        out_cf = pk.enhance_fused(
+            packed, img_cf, gparams, mode, 3, cfg.n_in, True,
+            interpret=self.interpret, z_strategy='loop',
+            h_true=lvl_hw[0], w_true=lvl_hw[1],
+            h_min=max(1, h_min >> l), w_min=max(1, w_min >> l))
+        out = jnp.transpose(out_cf, (0, 2, 3, 1))
+        if current is None:
+          current = out
+        else:
+          up = resize_bilinear_traced(current, out.shape[1:3],
+                                      lvl_hw // 2, lvl_hw)
+          current = up + out
+      return jnp.clip(current, 0.0, 1.0) if clip else current
+
+    mode, gparams = guide_args[0]
     packed = grid.reshape(b, gh, gw, gd, no * ni1)
     img_cf = jnp.transpose(padded, (0, 3, 1, 2))
     out_cf = pk.enhance_fused(packed, img_cf, gparams, mode, no,

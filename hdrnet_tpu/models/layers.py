@@ -53,6 +53,7 @@ class ConvBlock(nn.Module):
           use_scale=False,  # center-only: beta, no gamma (layers.py:48-50)
           use_bias=True,
           momentum=0.999,
+          epsilon=1e-3,  # tf.contrib.layers.batch_norm default
           name='bn')(x)
     if self.activation is not None:
       x = self.activation(x)
@@ -76,7 +77,8 @@ class DenseBlock(nn.Module):
                  name='fc')(x)
     if self.batch_norm:
       x = nn.BatchNorm(use_running_average=not train, use_scale=False,
-                       use_bias=True, momentum=0.999, name='bn')(x)
+                       use_bias=True, momentum=0.999, epsilon=1e-3,
+                       name='bn')(x)
     if self.activation is not None:
       x = self.activation(x)
     return x

@@ -10,19 +10,18 @@ XLA lowers the straightforward gather/strided-slice formulations of
 that subsample poorly on TPU (measured ~0.9 ms for a 4K frame — ~7x
 the HBM-read roofline), so this module provides a Pallas kernel:
 
-  * the row pattern repeats with period ``span = H/gcd(H, s)`` input
-    rows per ``per = s/gcd`` output rows, so a 1-D grid over the
-    ``gcd`` row groups gives every program a *static* in-block row
-    pattern;
+  * the row pattern repeats every ``span = H/gcd(H, s)`` input rows
+    (``per = s/gcd`` output rows per period), so after an outside
+    reshape to ``(B, C*g, span, W)`` every program sees its row
+    group as a full-minor-dims slab with a *static* in-slab pattern;
   * the column subsample is a one-hot matmul on the MXU
     (``P[w, x] = 1.0`` iff column w is the nearest source of output
     column x) — exact (each output is 1.0 * source + zeros, and 1.0
-    is exact in every MXU pass), and runs in the DMA shadow of the
-    next row-group's fetch.
+    is exact in every MXU pass), overlapping the next slab's DMA.
 
 Operates channel-first (B, C, H, W) — the serving frame layout — and
 returns (B, C, s, s). ``nearest_lowres_cf`` falls back to the XLA
-gather path off-TPU or for degenerate shapes.
+gather path off-TPU or for shapes outside the kernel's envelope.
 """
 
 from __future__ import annotations
@@ -37,16 +36,46 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hdrnet_tpu.ops.resize import _nearest_indices
 
+# Per-program VMEM budget for the input slabs + one-hot (f32 bytes).
+_VMEM_BUDGET = 8 * 2 ** 20
 
-def _make_kernel(per, span, n_chan, offsets):
+
+def _plan(h, w, s):
+  """(g, span, per, q) or None. q = row groups per program."""
+  g = int(np.gcd(h, s))
+  span, per = h // g, s // g
+  slab = span * w * 4
+  onehot = w * s * 4
+  if onehot > _VMEM_BUDGET // 2:
+    return None
+  # Batch q groups per program: enough to amortize grid overhead,
+  # bounded by VMEM and by dividing the 3*g group count evenly.
+  budget = max(1, (_VMEM_BUDGET - onehot) // max(slab, 1))
+  q = int(min(budget, 3 * g))
+  while (3 * g) % q:
+    q -= 1
+  if span * w * q * 4 + onehot > 2 * _VMEM_BUDGET:
+    return None
+  return g, span, per, q
+
+
+def pallas_feasible(h, w, s):
+  return _plan(h, w, s) is not None
+
+
+def _make_kernel(per, q, offsets):
   def kern(img_ref, px_ref, out_ref):
-    for c in range(n_chan):
-      rows = [img_ref[0, c, int(j), :] for j in offsets]
-      sel = jnp.stack(rows, axis=0)  # (per, W)
-      out_ref[0, c] = jax.lax.dot_general(
-          sel, px_ref[...], (((1,), (0,)), ((), ())),
-          precision=jax.lax.Precision.HIGHEST,
-          preferred_element_type=jnp.float32)
+    rows = []
+    for qq in range(q):
+      for j in offsets:
+        rows.append(img_ref[0, qq, int(j), :])
+    sel = jnp.stack(rows, axis=0)  # (q*per, W)
+    res = jax.lax.dot_general(
+        sel, px_ref[...], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)  # (q*per, s)
+    for qq in range(q):
+      out_ref[0, qq] = res[qq * per:(qq + 1) * per, :]
   return kern
 
 
@@ -58,15 +87,6 @@ def _col_onehot(w, s):
   return p
 
 
-def pallas_feasible(h, w, s):
-  g = int(np.gcd(h, s))
-  span, per = h // g, s // g
-  # Each program holds one (C, span, W) row group + the (W, s) one-hot
-  # in VMEM; bound the footprint (f32) to stay well under 16 MB.
-  vmem = (3 * span * w + w * s + 3 * per * s) * 4
-  return per <= 64 and span * g == h and vmem < 10 * 2 ** 20
-
-
 def nearest_lowres_cf(image_cf, s, interpret=False):
   """(B, C, H, W) float32 -> (B, C, s, s) nearest-downsampled.
 
@@ -75,34 +95,31 @@ def nearest_lowres_cf(image_cf, s, interpret=False):
   b, c, h, w = image_cf.shape
   if (h, w) == (s, s):
     return image_cf
-  if jax.default_backend() != 'tpu' and not interpret:
-    iy = jnp.asarray(_nearest_indices(h, s))
-    ix = jnp.asarray(_nearest_indices(w, s))
-    return jnp.take(jnp.take(image_cf, iy, axis=2), ix, axis=3)
-  if not pallas_feasible(h, w, s):
+  plan = _plan(h, w, s) if c == 3 else None
+  if plan is None or (jax.default_backend() != 'tpu' and not interpret):
     iy = jnp.asarray(_nearest_indices(h, s))
     ix = jnp.asarray(_nearest_indices(w, s))
     return jnp.take(jnp.take(image_cf, iy, axis=2), ix, axis=3)
 
-  g = int(np.gcd(h, s))
-  span, per = h // g, s // g
+  g, span, per, q = plan
   iy = _nearest_indices(h, s)
   offsets = tuple(int(v) for v in iy[:per])  # group-local row pattern
   px = jnp.asarray(_col_onehot(w, s))
 
-  kern = _make_kernel(per, span, c, offsets)
+  slabs = image_cf.reshape(b, c * g, span, w)
+  kern = _make_kernel(per, q, offsets)
   out = pl.pallas_call(
       kern,
-      grid=(b, g),
+      grid=(b, (c * g) // q),
       in_specs=[
-          pl.BlockSpec((1, c, span, w), lambda bi, k: (bi, 0, k, 0),
+          pl.BlockSpec((1, q, span, w), lambda bi, k: (bi, k, 0, 0),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((w, s), lambda bi, k: (0, 0),
                        memory_space=pltpu.VMEM),
       ],
-      out_specs=pl.BlockSpec((1, c, per, s), lambda bi, k: (bi, 0, k, 0),
+      out_specs=pl.BlockSpec((1, q, per, s), lambda bi, k: (bi, k, 0, 0),
                              memory_space=pltpu.VMEM),
-      out_shape=jax.ShapeDtypeStruct((b, c, s, s), jnp.float32),
+      out_shape=jax.ShapeDtypeStruct((b, c * g, per, s), jnp.float32),
       interpret=interpret,
-  )(image_cf, px)
-  return out
+  )(slabs, px)
+  return out.reshape(b, c, s, s)

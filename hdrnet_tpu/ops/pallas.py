@@ -55,11 +55,12 @@ from hdrnet_tpu.ops import reference as ref
 # implementation. Asymmetric on purpose: the kernel's expensive plane
 # FMAs scale with the Y window (one contraction pass per y-cell), while
 # the X window only sizes the cheap per-row x-interpolation, so a wider
-# X window is nearly free. X=12 notably admits 256x256 with a 16-cell
-# grid (window 10 at the 128-lane minimum tile) — the coarsest level of
-# the Gaussian-pyramid models, which previously fell back to XLA.
+# X window is nearly free. X=24 admits a full 17-cell window (16-cell
+# grid + the +1 tap) at ANY extent — the 128-lane minimum tile then
+# covers even the ~128px coarsest Gaussian-pyramid levels, which
+# previously fell back to the composite path.
 _MAX_CELLS_Y = 8
-_MAX_CELLS_X = 12
+_MAX_CELLS_X = 24
 
 
 def _max_cells(lane_dim):
@@ -799,7 +800,10 @@ def _sharded_axis_plan(extent_local, extent_total, cells, lane_dim):
   base = _choose_tile(extent_total, cells, lane_dim)
   if base is None:
     return None
-  n_cells = int(np.ceil((base.tile - 1) * cells / extent_total)) + 2
+  # cells + 1 bounds any window: the whole image only spans taps
+  # -1 .. cells-1+1.
+  n_cells = min(int(np.ceil((base.tile - 1) * cells / extent_total)) + 2,
+                cells + 1)
   if n_cells > _max_cells(lane_dim):
     return None
   n_tiles = _round_up(extent_local, base.tile) // base.tile
@@ -877,7 +881,9 @@ def _dynamic_axis_plan(extent_padded, extent_min, cells, lane_dim):
     candidates = [256, 128, 64, 32, 16, 8]
   best = None
   for tile in candidates:
-    n_cells = int(np.ceil((tile - 1) * cells / extent_min)) + 2
+    # cells + 1 bounds any window (whole image spans taps -1..cells).
+    n_cells = min(int(np.ceil((tile - 1) * cells / extent_min)) + 2,
+                  cells + 1)
     if n_cells > _max_cells(lane_dim):
       continue
     n_tiles = _round_up(extent_padded, tile) // tile
@@ -895,7 +901,7 @@ def plan_tiles_dynamic(h_pad, w_pad, h_min, w_min, gh, gw):
     return None
   if yp.tile * xp.tile > _MAX_TILE_PIXELS:
     tile = max(8, _MAX_TILE_PIXELS // xp.tile)
-    n_cells = int(np.ceil((tile - 1) * gh / h_min)) + 2
+    n_cells = min(int(np.ceil((tile - 1) * gh / h_min)) + 2, gh + 1)
     if n_cells > _MAX_CELLS_Y:
       return None
     yp = _AxisPlan(tile, _round_up(h_pad, tile) // tile, n_cells, None)

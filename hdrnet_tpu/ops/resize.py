@@ -51,6 +51,49 @@ def resize_nearest(x, size):
   return jnp.take(x, jnp.asarray(ix), axis=-2)
 
 
+def resize_bilinear_traced(x, size, true_in, true_out,
+                           align_corners=True):
+  """Bilinear resize of a PADDED array with TRACED true extents.
+
+  `x` is (..., Hp, Wp, C) padded to a static bucket; `size` = (hp, wp)
+  static padded output extent; `true_in`/`true_out` = traced (h, w)
+  int32 pairs of the logical images. Rows/cols beyond the true output
+  extent are garbage for the caller to crop. Enables one-compile
+  bucketed serving of the Gaussian-pyramid models, whose per-level
+  resamples depend on the true size (models.py:252-265).
+  """
+  import jax.numpy as jnp  # noqa: F811 (module already imported)
+  h, w = size
+  dtype = x.dtype
+
+  def taps(n_out_static, t_in, t_out, axis_len_in):
+    i = jnp.arange(n_out_static, dtype=jnp.float32)
+    t_in_f = t_in.astype(jnp.float32)
+    t_out_f = t_out.astype(jnp.float32)
+    if align_corners:
+      src = i * ((t_in_f - 1.0) / jnp.maximum(t_out_f - 1.0, 1.0))
+    else:
+      src = i * (t_in_f / t_out_f)
+    i0 = jnp.floor(src).astype(jnp.int32)
+    frac = (src - i0.astype(jnp.float32)).astype(jnp.float32)
+    i0 = jnp.clip(i0, 0, t_in - 1)
+    i1 = jnp.clip(i0 + 1, 0, t_in - 1)
+    i0 = jnp.minimum(i0, axis_len_in - 1)
+    i1 = jnp.minimum(i1, axis_len_in - 1)
+    return i0, i1, frac
+
+  y0, y1, fy = taps(h, true_in[0], true_out[0], x.shape[-3])
+  x0, x1, fx = taps(w, true_in[1], true_out[1], x.shape[-2])
+  fy = fy.reshape(h, 1, 1)
+  fx = fx.reshape(w, 1)
+  a = jnp.take(x, y0, axis=-3)
+  b = jnp.take(x, y1, axis=-3)
+  x = a + (b - a) * fy.astype(dtype)
+  a = jnp.take(x, x0, axis=-2)
+  b = jnp.take(x, x1, axis=-2)
+  return a + (b - a) * fx.astype(dtype)
+
+
 def resize_bilinear(x, size, align_corners=False):
   """Separable bilinear resize on the (-3, -2) axes."""
   h, w = size

@@ -121,6 +121,34 @@ def test_bucketed_serving_compile_count():
                              atol=2e-5)
 
 
+def test_bucketed_serving_pyramid():
+  """Pyramid-family bucketed serving (reference run.py serves arbitrary
+  HxW for every model class, bin/run.py:87-90): one compile per bucket
+  even though each level's resample depends on the true size. The
+  traced-size resample computes tap positions in f32 while the static
+  path uses f64 tables, so parity is tolerance- (not bit-) exact."""
+  cfg, model, variables, lowres = _setup_big('HDRNetGaussianPyrNN')
+  enh = Enhancer(config=cfg, variables=variables, interpret=True)
+  rng = np.random.RandomState(3)
+  h, w = 440, 680
+  fullres = np.asarray(rng.rand(1, h, w, 3), np.float32)
+  got = enh.enhance_any(lowres, fullres, clip=False)
+  assert got.shape == (1, h, w, 3)
+  want = enh(lowres, jnp.asarray(fullres), clip=False)
+  # Tap-position flips where an f32 source coordinate lands on an
+  # integer the f64 table rounds the other way perturb isolated pixels
+  # (~0.006% here) by up to ~1e-3 — below the 1/255 uint8 serving
+  # quantum; everything else matches to f32 roundoff.
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             atol=2e-3)
+  # Second size in the same bucket: no new kernel compile entries.
+  n_entries = len(enh._jitted)
+  fullres2 = np.asarray(rng.rand(1, 452, 692, 3), np.float32)
+  out2 = enh.enhance_any(lowres, fullres2, clip=False)
+  assert out2.shape == (1, 452, 692, 3)
+  assert len(enh._jitted) == n_entries, list(enh._jitted)
+
+
 def test_bucket_ladder():
   from hdrnet_tpu.inference import bucket_extent
   assert bucket_extent(450) == (512, 401)
