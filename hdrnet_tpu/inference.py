@@ -269,22 +269,48 @@ class Enhancer:
   def make_stream_fn(self, full_shape):
     """One jitted uint8-in / uint8-out pipeline step for streaming.
 
-    Everything between the raw frame and the raw output runs on device:
-    normalize (u8 -> f32/255), nearest 256x256 downsample (the
-    reference's per-frame cv::resize, processor.cc:110-122), fused
-    guide+slice+apply, and the [0,1]-clip + round-half-up requantize
-    (same conversion as data/images.py:imwrite). uint8 IO means each 4K
-    frame moves 24 MB over the host link instead of 95 MB of f32.
+    Everything between the raw frame and the raw output runs on device,
+    and — on the fused path — the frame stays uint8 through HBM: the
+    Pallas preview-downsample and the fused kernel dequantize (x/255)
+    in-kernel, and the kernel's epilogue requantizes the clipped result
+    (round-half-up, same conversion as utils/image imwrite). A 4K frame
+    then moves ~72 MB of HBM traffic instead of ~460 MB, and 24 MB over
+    the host link instead of 95 MB of f32. Equivalent of the
+    reference's 8-bit GL texture path (renderer.cc:227-253) + per-frame
+    cv::resize (processor.cc:110-122).
     """
     key = ('stream', tuple(full_shape))
     if key not in self._jitted:
-      process = self._process_fn()
+      from hdrnet_tpu.ops.downsample import nearest_lowres_cf
+      s = self.model_cfg.net_input_size
+      b, h, w, _ = full_shape
+      fused_ok = (self.use_fused
+                  and not isinstance(self.model, HDRNetGaussianPyrNN)
+                  and self._feasible_at(h, w))
 
-      @jax.jit
-      def fn(frame_u8):
-        full = frame_u8.astype(jnp.float32) / 255.0
-        out = process(full, clip=True)
-        return (out * 255.0 + 0.5).astype(jnp.uint8)
+      if fused_ok:
+        @jax.jit
+        def fn(frame_u8):
+          cf_u8 = jnp.transpose(frame_u8, (0, 3, 1, 2))
+          low = jnp.transpose(nearest_lowres_cf(cf_u8, s,
+                                                interpret=self.interpret),
+                              (0, 2, 3, 1))
+          grid = self._backbone_grid(low)
+          b_, gh, gw, gd, no, ni1 = grid.shape
+          mode, gparams = self._guide_args()[0]
+          packed = grid.reshape(b_, gh, gw, gd, no * ni1)
+          out_cf = pk.enhance_fused(packed, cf_u8, gparams, mode, no,
+                                    self.model_cfg.n_in, True,
+                                    interpret=self.interpret,
+                                    clip_output=True, u8_output=True)
+          return jnp.transpose(out_cf, (0, 2, 3, 1))
+      else:
+        @jax.jit
+        def fn(frame_u8):
+          full = frame_u8.astype(jnp.float32) / 255.0
+          low = resize_nearest(full, (s, s))
+          out = self._forward(low, full, clip=True)
+          return (out * 255.0 + 0.5).astype(jnp.uint8)
 
       self._jitted[key] = fn
     return self._jitted[key]

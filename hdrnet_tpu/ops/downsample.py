@@ -63,13 +63,15 @@ def pallas_feasible(h, w, s):
   return _plan(h, w, s) is not None
 
 
-def _make_kernel(per, q, offsets):
+def _make_kernel(per, q, offsets, scale):
   def kern(img_ref, px_ref, out_ref):
     rows = []
     for qq in range(q):
       for j in offsets:
         rows.append(img_ref[0, qq, int(j), :])
-    sel = jnp.stack(rows, axis=0)  # (q*per, W)
+    sel = jnp.stack(rows, axis=0).astype(jnp.float32)  # (q*per, W)
+    if scale:  # uint8 intake: normalize after selection — exact, since
+      sel = sel / scale  # one-hot selection commutes with the divide
     res = jax.lax.dot_general(
         sel, px_ref[...], (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
@@ -88,18 +90,24 @@ def _col_onehot(w, s):
 
 
 def nearest_lowres_cf(image_cf, s, interpret=False):
-  """(B, C, H, W) float32 -> (B, C, s, s) nearest-downsampled.
+  """(B, C, H, W) float32 or uint8 -> (B, C, s, s) float32 preview.
 
-  Bit-exact to resize_nearest (ops/resize.py) on the same frame.
+  Bit-exact to resize_nearest (ops/resize.py) on the same frame; a
+  uint8 frame is normalized in-kernel (x/255, exactly matching
+  normalize-then-downsample, since one-hot selection commutes with the
+  scalar multiply) so the full-res frame never exists in f32.
   """
   b, c, h, w = image_cf.shape
+  u8 = image_cf.dtype == jnp.uint8
+  white = 255.0 if u8 else None
   if (h, w) == (s, s):
-    return image_cf
+    return image_cf.astype(jnp.float32) / white if u8 else image_cf
   plan = _plan(h, w, s) if c == 3 else None
   if plan is None or (jax.default_backend() != 'tpu' and not interpret):
     iy = jnp.asarray(_nearest_indices(h, s))
     ix = jnp.asarray(_nearest_indices(w, s))
-    return jnp.take(jnp.take(image_cf, iy, axis=2), ix, axis=3)
+    out = jnp.take(jnp.take(image_cf, iy, axis=2), ix, axis=3)
+    return out.astype(jnp.float32) / white if u8 else out
 
   g, span, per, q = plan
   iy = _nearest_indices(h, s)
@@ -107,7 +115,7 @@ def nearest_lowres_cf(image_cf, s, interpret=False):
   px = jnp.asarray(_col_onehot(w, s))
 
   slabs = image_cf.reshape(b, c * g, span, w)
-  kern = _make_kernel(per, q, offsets)
+  kern = _make_kernel(per, q, offsets, white)
   out = pl.pallas_call(
       kern,
       grid=(b, (c * g) // q),

@@ -187,6 +187,22 @@ class _Cfg:
   # scalars in off_ref[2:4] and the pixel->grid scale is computed
   # in-kernel. One compile serves every true size within the bucket.
   dynamic_size: bool = False
+  # uint8 streaming path: dequantize the image in-kernel (x/255) and/or
+  # requantize the clipped output (x*255 + 0.5) — the frame then moves
+  # through HBM at 1/4 the f32 traffic, like the reference's GL path
+  # keeps frames in 8-bit textures (renderer.cc:227-253).
+  u8_in: bool = False
+  u8_out: bool = False
+  # Opt-in bf16 arithmetic for the slicing contraction (weights, rows,
+  # accumulation planes); the epilogue's affine apply stays f32. bf16
+  # vregs pack 2 elements/lane, doubling VPU FMA throughput where the
+  # contraction is ALU-bound. Error budget: ~1e-3 relative (8-bit
+  # mantissa) — outside the reference's f32 1e-4 conformance gate, but
+  # below one uint8 quantum for [0,1] serving outputs; gated separately
+  # in tests at 2/255. The reference's own deployment path is lower
+  # precision still (RGBA16F textures + fp16 GL sampling,
+  # renderer.cc:227-253).
+  compute_dtype: str = 'float32'
 
   @property
   def ni_tot(self):
@@ -322,6 +338,13 @@ def _accumulate_sliced(cfg, lg_ref, wy, wx, guide, *, derivative=False,
   dwz_list = (_depth_onehot_weights(guide, cfg.gd, derivative=True)
               if derivative else None)
   c_n = cfg.channels
+  if cfg.compute_dtype == 'bfloat16':
+    assert not derivative, 'bf16 contraction is a forward-only fast path'
+    dt = jnp.bfloat16
+    wz_list = [w.astype(dt) for w in wz_list]
+    wy = [w.astype(dt) for w in wy]
+    if rows_list is not None:
+      rows_list = [r.astype(dt) for r in rows_list]
 
   def contract(ws, rows, c):
     """sum_k ws[k] * rows[k*C + c] with the configured chain shape."""
@@ -340,16 +363,22 @@ def _accumulate_sliced(cfg, lg_ref, wy, wx, guide, *, derivative=False,
       u = u + w * r
     return u
 
-  sliced = [jnp.zeros((cfg.th, cfg.tw), jnp.float32) for _ in range(c_n)]
+  acc_dt = (jnp.bfloat16 if cfg.compute_dtype == 'bfloat16'
+            else jnp.float32)
+  sliced = [jnp.zeros((cfg.th, cfg.tw), acc_dt) for _ in range(c_n)]
   sliced_dz = ([jnp.zeros((cfg.th, cfg.tw), jnp.float32)
                 for _ in range(c_n)] if dwz_list is not None else None)
   for da in range(cfg.ncy):
     rows = (rows_list[da] if rows_list is not None
             else _x_rows(cfg, lg_ref, wx, da))
+    if rows.dtype != acc_dt:
+      rows = rows.astype(acc_dt)
     for c in range(c_n):
       sliced[c] = sliced[c] + wy[da] * contract(wz_list, rows, c)
       if dwz_list is not None:
         sliced_dz[c] = sliced_dz[c] + wy[da] * contract(dwz_list, rows, c)
+  if acc_dt != jnp.float32:
+    sliced = [s.astype(jnp.float32) for s in sliced]
   if dwz_list is not None:
     return sliced, sliced_dz
   return sliced
@@ -541,6 +570,10 @@ def _apply_epilogue(cfg, sliced, img, out_ref, row_start=None):
       acc = acc + sliced[i * ni1 + j] * img[j]
     if cfg.clip_output:
       acc = jnp.clip(acc, 0.0, 1.0)
+    if cfg.u8_out:
+      # Round-half-up requantize (same conversion as utils/image
+      # imwrite); clip_output is enforced by the wrapper.
+      acc = (acc * 255.0 + 0.5).astype(jnp.uint8)
     if row_start is None:
       out_ref[0, i] = acc
     else:
@@ -566,6 +599,11 @@ def _fused_fwd_kernel(cfg, a0_ref, b0_ref, off_ref, lg_ref, img_ref, *rest):
   ty = pl.program_id(1)
   tx = pl.program_id(2)
 
+  def load(x):
+    # uint8 streaming intake: dequantize as the plane leaves VMEM
+    # (exact division — bitwise equal to the f32 path's frame/255).
+    return _f32(x) / 255.0 if cfg.u8_in else x
+
   def guide_of(c, img):
     if c.guide_mode == 'curves':
       return _curves_guide(c, img, *params)
@@ -574,7 +612,7 @@ def _fused_fwd_kernel(cfg, a0_ref, b0_ref, off_ref, lg_ref, img_ref, *rest):
     raise ValueError(c.guide_mode)
 
   if not cfg.strip:
-    img = [img_ref[0, j] for j in range(cfg.n_in)]
+    img = [load(img_ref[0, j]) for j in range(cfg.n_in)]
     guide = guide_of(cfg, img)
     wy, wx = _make_wy_wx(cfg, a0_ref[ty], b0_ref[tx], off_ref, ty, tx)
     sliced = _accumulate_sliced(cfg, lg_ref, wy, wx, guide)
@@ -586,7 +624,7 @@ def _fused_fwd_kernel(cfg, a0_ref, b0_ref, off_ref, lg_ref, img_ref, *rest):
 
   def body(s, carry):
     y0 = s * cfg.strip
-    img = [img_ref[0, j, pl.ds(y0, cfg.strip), :]
+    img = [load(img_ref[0, j, pl.ds(y0, cfg.strip), :])
            for j in range(cfg.n_in)]
     wy = _strip_wy(scfg, sy, y_base, y0, a0)
     sliced = _accumulate_sliced(scfg, lg_ref, wy, None,
@@ -1008,7 +1046,8 @@ def enhance_fused(grid5, image_cf, guide_params, guide_mode, n_out, n_in,
                   has_offset=True, interpret=False, y_offset=None,
                   x_offset=None, h_total=None, w_total=None,
                   clip_output=False, z_strategy=None, h_true=None,
-                  w_true=None, h_min=None, w_min=None, strip=None):
+                  w_true=None, h_min=None, w_min=None, strip=None,
+                  u8_output=False, compute_dtype=None):
   """Fused guide + slice + apply forward (inference fast path).
 
   grid5 (B,gh,gw,gd,C) packed; image_cf (B,n_in,H,W) channel-first;
@@ -1023,13 +1062,19 @@ def enhance_fused(grid5, image_cf, guide_params, guide_mode, n_out, n_in,
   must serve). One compile then serves every size in the bucket; rows
   and columns beyond (h_true, w_true) are garbage for the caller to
   crop.
-  Returns (B, n_out, H, W).
+  uint8 streaming: a uint8 image_cf is dequantized in-kernel (x/255);
+  u8_output=True (requires clip) requantizes the clipped result to
+  uint8 in the epilogue — each saves 3/4 of the frame's HBM traffic.
+  Returns (B, n_out, H, W), float32 or uint8.
   """
   b, _, h, w = image_cf.shape
   _, gh, gw, gd, _ = grid5.shape
   h_total = h_total or h
   w_total = w_total or w
   dynamic = h_true is not None
+  u8_in = image_cf.dtype == jnp.uint8
+  if u8_output:
+    assert clip_output, 'u8 output requires the in-kernel clip'
   if dynamic:
     assert y_offset is None and x_offset is None, (
         'dynamic size and spatial sharding are separate paths')
@@ -1057,12 +1102,27 @@ def enhance_fused(grid5, image_cf, guide_params, guide_mode, n_out, n_in,
     cfg = dataclasses.replace(cfg, dynamic_size=True)
   if clip_output:
     cfg = dataclasses.replace(cfg, clip_output=True)
+  # uint8 tiles need (32, 128)-divisible block minor dims; fall back to
+  # f32 IO when the tile plan doesn't provide them.
+  if u8_in and cfg.th % 32 == 0:
+    cfg = dataclasses.replace(cfg, u8_in=True)
+  elif u8_in:
+    image_cf = image_cf.astype(jnp.float32) / 255.0
+    u8_in = False
+  u8_out = u8_output and cfg.th % 32 == 0
+  if u8_out:
+    cfg = dataclasses.replace(cfg, u8_out=True)
+  if compute_dtype is not None:
+    assert compute_dtype in ('float32', 'bfloat16'), compute_dtype
+    cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
   if cfg.z_strategy != 'loop':
     if strip is None:  # auto: the measured default
       cfg = _auto_strip(cfg)
     elif strip:
       assert cfg.th % strip == 0, (cfg.th, strip)
       cfg = dataclasses.replace(cfg, strip=strip)
+    if (cfg.u8_in or cfg.u8_out) and cfg.strip % 32:
+      cfg = dataclasses.replace(cfg, strip=0)
   if guide_mode == 'curves':
     n_pts = guide_params[1].shape[1]
     cfg = dataclasses.replace(cfg, guide_mode='curves', n_pts=n_pts)
@@ -1085,6 +1145,7 @@ def enhance_fused(grid5, image_cf, guide_params, guide_mode, n_out, n_in,
     operands.append(arr)
     in_specs.append(param_spec(arr))
 
+  out_dtype = jnp.uint8 if cfg.u8_out else jnp.float32
   out = pl.pallas_call(
       functools.partial(_fused_fwd_kernel, cfg),
       grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1094,10 +1155,13 @@ def enhance_fused(grid5, image_cf, guide_params, guide_mode, n_out, n_in,
           out_specs=chan_spec(n_out),
       ),
       out_shape=jax.ShapeDtypeStruct((b, n_out, h_pad, w_pad),
-                                     jnp.float32),
+                                     out_dtype),
       interpret=interpret,
   )(a0, b0, offs, *operands)
-  return out[:, :, :h, :w]
+  out = out[:, :, :h, :w]
+  if u8_output and not cfg.u8_out:  # tile plan forced the f32 path
+    out = (out * 255.0 + 0.5).astype(jnp.uint8)
+  return out
 
 
 def _plan_axis_offset(extent_padded, scale, tile, offset):

@@ -210,3 +210,52 @@ def test_wide_x_window_small_image():
       grid, guide, image)
   for a, b in zip(got_g, want_g):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_u8_io_matches_f32_path():
+  """uint8 streaming IO: in-kernel dequantize (x/255) and epilogue
+  requantize must reproduce the f32 path exactly (dequantize uses the
+  same division; requantize is the round-half-up imwrite conversion).
+  Size chosen so the tile plan is u8-capable (th % 32 == 0)."""
+  rng = np.random.RandomState(13)
+  grid5 = jnp.asarray(rng.randn(1, 16, 16, 8, 12) * 0.05, jnp.float32)
+  img_u8 = jnp.asarray(rng.randint(0, 256, (1, 3, 576, 384)), jnp.uint8)
+  ccm = jnp.asarray(rng.randn(4, 3) * 0.3, jnp.float32)
+  curves = jnp.asarray(rng.rand(6, 16), jnp.float32)
+  mix = jnp.asarray(rng.rand(4, 1), jnp.float32)
+  gp = (ccm, curves, mix)
+
+  plans = pk.plan_tiles(576, 384, 16, 16)
+  assert plans is not None and plans[0].tile % 32 == 0, plans
+
+  img_f32 = img_u8.astype(jnp.float32) / 255.0
+  want = pk.enhance_fused(grid5, img_f32, gp, 'curves', 3, 3, True,
+                          clip_output=True, interpret=True)
+  want_u8 = (want * 255.0 + 0.5).astype(jnp.uint8)
+
+  got = pk.enhance_fused(grid5, img_u8, gp, 'curves', 3, 3, True,
+                         clip_output=True, u8_output=True,
+                         interpret=True)
+  assert got.dtype == jnp.uint8
+  np.testing.assert_array_equal(np.asarray(got), np.asarray(want_u8))
+
+
+def test_bf16_compute_within_serving_tolerance():
+  """Opt-in bf16 contraction (serving fast path): clipped output must
+  stay within 2/255 of the f32 path — below the uint8 quantization the
+  reference's own fp16 GL deployment path already accepts
+  (renderer.cc:227-253 uploads RGBA16F textures)."""
+  rng = np.random.RandomState(17)
+  grid5 = jnp.asarray(rng.randn(1, 16, 16, 8, 12) * 0.05, jnp.float32)
+  img = jnp.asarray(rng.rand(1, 3, 192, 256), jnp.float32)
+  ccm = jnp.asarray(rng.randn(4, 3) * 0.3, jnp.float32)
+  curves = jnp.asarray(rng.rand(6, 16), jnp.float32)
+  mix = jnp.asarray(rng.rand(4, 1), jnp.float32)
+  gp = (ccm, curves, mix)
+  want = pk.enhance_fused(grid5, img, gp, 'curves', 3, 3, True,
+                          clip_output=True, interpret=True)
+  got = pk.enhance_fused(grid5, img, gp, 'curves', 3, 3, True,
+                         clip_output=True, interpret=True,
+                         compute_dtype='bfloat16')
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             atol=2.0 / 255.0)
