@@ -63,19 +63,32 @@ def pallas_feasible(h, w, s):
   return _plan(h, w, s) is not None
 
 
-def _make_kernel(per, q, offsets, scale):
+def _make_kernel(per, q, offsets, white):
+  u8 = white is not None
+
   def kern(img_ref, px_ref, out_ref):
     rows = []
     for qq in range(q):
       for j in offsets:
         rows.append(img_ref[0, qq, int(j), :])
-    sel = jnp.stack(rows, axis=0).astype(jnp.float32)  # (q*per, W)
-    if scale:  # uint8 intake: normalize after selection — exact, since
-      sel = sel / scale  # one-hot selection commutes with the divide
+    sel = jnp.stack(rows, axis=0)  # (q*per, W)
+    if u8:
+      # uint8 values are integers <= 255 — exactly representable in
+      # bf16, so a single DEFAULT-precision MXU pass is exact; the
+      # normalize happens after the selection (commutes exactly).
+      sel = sel.astype(jnp.bfloat16)
+      prec = jax.lax.Precision.DEFAULT
+    else:
+      # One-hot x f32: 3-pass bf16 (HIGH) is exact — the weight 1.0
+      # splits as (1.0, 0.0), so hi*1 + lo*1 + 0 reassembles x.
+      sel = sel.astype(jnp.float32)
+      prec = jax.lax.Precision.HIGH
     res = jax.lax.dot_general(
-        sel, px_ref[...], (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        sel, px_ref[...].astype(sel.dtype), (((1,), (0,)), ((), ())),
+        precision=prec,
         preferred_element_type=jnp.float32)  # (q*per, s)
+    if u8:
+      res = res / white
     for qq in range(q):
       out_ref[0, qq] = res[qq * per:(qq + 1) * per, :]
   return kern

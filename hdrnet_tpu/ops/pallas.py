@@ -100,7 +100,7 @@ def _plan_axis(extent, n_cells_total, tile):
 _TILE_OVERRIDE = None
 
 
-def _choose_tile(extent, n_cells_total, lane_dim):
+def _choose_tile(extent, n_cells_total, lane_dim, wide_pref=False):
   """Pick a tile size: hardware-aligned, window within the per-axis
   cap, and a small window preferred (the inner loops scale with NCY)."""
   if _TILE_OVERRIDE is not None:
@@ -110,16 +110,23 @@ def _choose_tile(extent, n_cells_total, lane_dim):
     candidates = [512, 256, 128] if extent > 1536 else [256, 128]
   else:
     candidates = [256, 128, 64, 32, 16, 8]
-  best = None
-  for tile in candidates:
-    plan = _plan_axis(extent, n_cells_total, tile)
-    if plan.n_cells > _max_cells(lane_dim):
-      continue
-    # Prefer the smallest cell window (the kernel inner loops scale
-    # with it); break ties toward bigger tiles.
-    if best is None or plan.n_cells < best.n_cells:
-      best = plan
-  return best
+  plans = [p for p in (_plan_axis(extent, n_cells_total, t)
+                       for t in candidates)
+           if p.n_cells <= _max_cells(lane_dim)]
+  if not plans:
+    return None
+  min_cells = min(p.n_cells for p in plans)
+  if lane_dim and wide_pref:
+    # Serving forward: the x window only sizes the cheap per-column
+    # interpolation, while wider lane tiles mean fewer tiles and better
+    # pipelining — treat windows within +1 of minimal as ties and take
+    # the widest tile (measured at 4K: (128,256)/nc4 beats
+    # (128,128)/nc3 by ~9%). Training kernels keep the narrow plan:
+    # their backward variants carry 2x the register pressure.
+    plans = [p for p in plans if p.n_cells <= min_cells + 1]
+    return max(plans, key=lambda p: p.tile)
+  # Smallest window wins; ties toward bigger tiles (candidate order).
+  return next(p for p in plans if p.n_cells == min_cells)
 
 
 # Conservative per-tile VMEM budget: ~24 live f32 planes (accumulators,
@@ -128,10 +135,10 @@ def _choose_tile(extent, n_cells_total, lane_dim):
 _MAX_TILE_PIXELS = 128 * 1024
 
 
-def plan_tiles(h, w, gh, gw):
+def plan_tiles(h, w, gh, gw, wide_pref=False):
   """Returns (y_plan, x_plan) or None if the pallas path is infeasible."""
   yp = _choose_tile(h, gh, lane_dim=False)
-  xp = _choose_tile(w, gw, lane_dim=True)
+  xp = _choose_tile(w, gw, lane_dim=True, wide_pref=wide_pref)
   if yp is None or xp is None:
     return None
   if yp.tile * xp.tile > _MAX_TILE_PIXELS:
@@ -813,9 +820,9 @@ def _pad_hw(x, h_pad, w_pad):
   return jnp.pad(x, pads)
 
 
-def _common_setup(grid5, guide, h, w):
+def _common_setup(grid5, guide, h, w, wide_pref=False):
   b, gh, gw, gd, _ = grid5.shape
-  plans = plan_tiles(h, w, gh, gw)
+  plans = plan_tiles(h, w, gh, gw, wide_pref=wide_pref)
   assert plans is not None, 'caller must check feasible()'
   yp, xp = plans
   lg = _extract_cell_windows(grid5, yp, xp)
@@ -978,18 +985,25 @@ def _cfg_from(grid5, yp, xp, h, w, n_out, n_in, has_offset,
 
 
 # Default strip height, picked by measurement (scripts/kernel_tuning.py
-# on one v5e at 4K): a 32-row strip loop runs ~13% faster than the
-# straight-line kernel (operands stay vreg-resident within a strip) and
-# compiles no slower (the loop body is compiled once).
-_DEFAULT_STRIP = 32
+# on one v5e at 4K, 100-iter chains): 64-row strips beat 32 (2.00 ms vs
+# 2.38 at (128,256)) — operands stay vreg-resident within a strip and
+# the loop body is compiled once. 32 remains the fallback for tiles not
+# divisible by 64.
+_DEFAULT_STRIP = 64
 
 
-def _auto_strip(cfg):
+def _auto_strip(cfg, default=None):
   """Applies the measured strip default (unroll contraction only; the
-  'loop' z-strategy already bounds its code size and VMEM pressure)."""
-  if cfg.z_strategy != 'unroll' or cfg.th % _DEFAULT_STRIP:
+  'loop' z-strategy already bounds its code size and VMEM pressure).
+  Training wrappers pass default=32: the backward kernels carry 2x the
+  live planes, and 64-row strips were only measured ahead on the
+  serving forward."""
+  if cfg.z_strategy != 'unroll':
     return cfg
-  return dataclasses.replace(cfg, strip=_DEFAULT_STRIP)
+  for strip in (default or _DEFAULT_STRIP, 32):
+    if strip <= cfg.th and cfg.th % strip == 0:
+      return dataclasses.replace(cfg, strip=strip)
+  return cfg
 
 
 def _make_specs(cfg, nty, ntx):
@@ -1015,7 +1029,10 @@ def slice_apply_fwd(grid5, guide, image_cf, n_out, n_in, has_offset,
   """Forward pass. grid5 (B,gh,gw,gd,C) packed; guide (B,H,W);
   image_cf (B,n_in,H,W) channel-first. Returns (B,n_out,H,W)."""
   b, h, w = guide.shape
-  yp, xp, lg, a0, b0, h_pad, w_pad = _common_setup(grid5, guide, h, w)
+  # Forward-only kernel: gets the serving-tuned plan (wide lane tiles,
+  # 64-row strips); the backward kernels keep the narrow/32 plan.
+  yp, xp, lg, a0, b0, h_pad, w_pad = _common_setup(grid5, guide, h, w,
+                                                   wide_pref=True)
   offs = jnp.zeros((4,), jnp.int32)
   cfg = _auto_strip(_cfg_from(grid5, yp, xp, h, w, n_out, n_in,
                               has_offset, z_strategy))
@@ -1087,7 +1104,7 @@ def enhance_fused(grid5, image_cf, guide_params, guide_mode, n_out, n_in,
     yp, xp, lg, a0, b0, offs, h_pad, w_pad = _sharded_setup(
         grid5, h, w, h_total, w_total, y_offset, x_offset)
   else:
-    plans = plan_tiles(h, w, gh, gw)
+    plans = plan_tiles(h, w, gh, gw, wide_pref=True)
     assert plans is not None, 'caller must check feasible()'
     yp, xp = plans
     lg = _extract_cell_windows(grid5, yp, xp)
@@ -1268,7 +1285,7 @@ def slice_apply_pix_bwd(grid5, guide, image_cf, ct_cf, n_out, n_in,
   yp, xp, lg, a0, b0, h_pad, w_pad = _common_setup(grid5, guide, h, w)
   offs = jnp.zeros((4,), jnp.int32)
   cfg = _auto_strip(_cfg_from(grid5, yp, xp, h, w, n_out, n_in,
-                              has_offset, z_strategy))
+                              has_offset, z_strategy), default=32)
   lg_spec, guide_spec, chan_spec = _make_specs(cfg, yp.n_tiles, xp.n_tiles)
 
   guide_p = _pad_hw(guide, h_pad, w_pad)

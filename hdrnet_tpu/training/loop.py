@@ -58,9 +58,12 @@ def _chain_first(first, rest):
 
 def _enable_compile_cache(checkpoint_dir):
   """Persistent XLA compilation cache: the fused kernels take minutes to
-  compile per shape; cache hits make restarts/resumes instant."""
+  compile per shape; cache hits make restarts/resumes instant. Set
+  HDRNET_TPU_CACHE_DIR to share one cache across runs (e.g. a queue of
+  experiments at the same geometry)."""
   try:
-    cache_dir = os.path.join(os.path.abspath(checkpoint_dir), 'jax_cache')
+    cache_dir = os.environ.get('HDRNET_TPU_CACHE_DIR') or os.path.join(
+        os.path.abspath(checkpoint_dir), 'jax_cache')
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update('jax_compilation_cache_dir', cache_dir)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 5)

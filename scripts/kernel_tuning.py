@@ -10,7 +10,11 @@ method as bench.py) so tunnel latency doesn't pollute the numbers.
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -29,6 +33,8 @@ def main():
   p.add_argument('--strips', type=str, default='0',
                  help='semicolon list of strip-loop row counts '
                       '(0 = straight-line kernel)')
+  p.add_argument('--compute_dtype', type=str, default='float32',
+                 help='float32 | bfloat16 (forward contraction dtype)')
   args = p.parse_args()
 
   import jax
@@ -83,7 +89,8 @@ def main():
       def chain(x):
         for _ in range(n):
           x = pk.enhance_fused(grid, x, gparams, 'curves', 3, 3, True,
-                               clip_output=True, strip=strip)
+                               clip_output=True, strip=strip,
+                               compute_dtype=args.compute_dtype)
         return x.reshape(-1)[0]
 
       t0 = time.time()
