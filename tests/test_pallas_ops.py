@@ -30,6 +30,8 @@ CASES = [
     (1, 4, 4, 8, 3, 3, 64, 130),
     (2, 3, 5, 4, 3, 3, 37, 129),
     (1, 16, 16, 8, 3, 3, 130, 257),
+    # The reference's best quality config l16/s32 (compare_to_unet.py:46)
+    (1, 32, 32, 16, 3, 3, 140, 160),
 ]
 
 
@@ -259,3 +261,24 @@ def test_bf16_compute_within_serving_tolerance():
                          compute_dtype='bfloat16')
   np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                              atol=2.0 / 255.0)
+
+
+def test_vjps_match_oracle_l16_s32_geometry():
+  """All three cotangents at the reference's best quality config
+  (l16/s32, compare_to_unet.py:46) — gd=16 doubles the depth
+  contraction; the queue trains this geometry for real."""
+  grid, guide, image = _args(21, 1, 32, 32, 16, 3, 3, 140, 160)
+  rng = np.random.RandomState(22)
+  probe = jnp.asarray(rng.randn(1, 140, 160, 3), jnp.float32)
+
+  def run(backend):
+    def loss(grid, guide, image):
+      out = bilateral_slice_apply(grid, guide, image, backend=backend)
+      return jnp.vdot(out, probe)
+    return jax.grad(loss, argnums=(0, 1, 2))(grid, guide, image)
+
+  dg_r, dgd_r, di_r = run('reference')
+  dg_p, dgd_p, di_p = run('pallas_interpret')
+  np.testing.assert_allclose(np.asarray(dg_p), np.asarray(dg_r), atol=1e-4)
+  np.testing.assert_allclose(np.asarray(dgd_p), np.asarray(dgd_r), atol=1e-4)
+  np.testing.assert_allclose(np.asarray(di_p), np.asarray(di_r), atol=1e-4)
