@@ -172,7 +172,7 @@ def main(argv=None):
   bt = 4
   full4k_b = jnp.asarray(rng.rand(bt, H, W, 3), np.float32)
   t_4k_batch = timed_feedback_chain(lambda f: process(f, clip=True),
-                                    max(n // 4, 25), full4k_b) / bt
+                                    max(n // 2, 50), full4k_b) / bt
 
   # --- optional: isolated stage probes (upper bounds: each carries its
   # own chain feedback overhead)

@@ -1,0 +1,73 @@
+#!/bin/bash
+# Post-queue consolidation: copy round-3 quality artifacts into
+# results/, measure per-model runtimes, and build the
+# quality-vs-runtime figure (the reference's compare_to_unet figure).
+set -xe
+cd "$(dirname "$0")/.."
+
+for run in ll2048_l16s32 ll2048_l8s16_g05 ll1024_unet_d9_w32 \
+           ll1024_dilated_d3_w64 ll_gpyrnn_g05; do
+  if [ -d "output/$run" ]; then
+    mkdir -p "results/$run"
+    cp -f "output/$run"/eval_test.json "results/$run/" 2>/dev/null || true
+    cp -f "output/$run"/oracle_test.json "results/$run/" 2>/dev/null || true
+    cp -f "output/$run"/config.json "results/$run/" 2>/dev/null || true
+    cp -f "output/$run"/summaries.jsonl "results/$run/" 2>/dev/null || true
+  fi
+done
+
+python scripts/bench_models.py --res 2048 2048 --iters 50 \
+  --out results/model_runtimes_2048.json
+
+python - <<'EOF'
+import json, os
+rows = []
+for run, label in [
+    ('ll2048_l16s32', 'HDRNetCurves l16/s32 @2048'),
+    ('ll2048_l8s16_g05', 'HDRNetCurves l8/s16 @2048 (guide-lr 0.5)'),
+    ('results/ll2048_l8s16_cos', 'HDRNetCurves l8/s16 @2048 (round 2)'),
+    ('ll1024_unet_d9_w32', 'UNet d9/w32 @1024'),
+    ('ll1024_dilated_d3_w64', 'Dilated d3/w64 @1024'),
+    ('ll_gpyrnn_g05', 'GaussianPyrNN @1024 (guide-lr 0.5)'),
+]:
+  p = run if run.startswith('results/') else f'results/{run}'
+  f = os.path.join(p, 'eval_test.json')
+  if os.path.exists(f):
+    rec = json.load(open(f))
+    rows.append((label, rec['mean_psnr_db'], rec.get('step')))
+print(f'{"run":48s} {"PSNR dB":>8s} {"step":>8s}')
+for label, p, s in rows:
+  print(f'{label:48s} {p:8.2f} {s or 0:8d}')
+json.dump({l: {'psnr_db': p, 'step': s} for l, p, s in rows},
+          open('results/round3_quality.json', 'w'), indent=2)
+EOF
+
+# Figure: framework points (PSNR from evals, runtime from bench_models)
+python - <<'EOF'
+import json
+rt = json.load(open('results/model_runtimes_2048.json'))
+q = json.load(open('results/round3_quality.json'))
+args = ['results/compare_baselines.png']
+def ms(spec):
+  return rt.get(spec, {}).get('ms')
+pts = []
+def add(label_key, spec):
+  for l, rec in q.items():
+    if label_key in l and rec['psnr_db']:
+      m = ms(spec)
+      if m:
+        pts.append(f"{l.replace(':', ' ')}:{rec['psnr_db']:.2f}:{m}")
+      break
+add('l16/s32', 'HDRNetCurves')   # runtime of the curves serving path
+add('l8/s16 @2048 (guide-lr', 'HDRNetCurves')
+add('UNet', 'UNet:9:32')
+add('Dilated', 'DilatedConvolutions:3:64')
+add('GaussianPyrNN', 'HDRNetGaussianPyrNN')
+for p in pts:
+  args += ['--point', p]
+import sys
+from hdrnet_tpu.bin import compare_baselines
+compare_baselines.main(args)
+print('figure written')
+EOF
+echo CONSOLIDATE_DONE
