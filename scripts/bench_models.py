@@ -44,13 +44,19 @@ def main():
   results = {}
 
   for spec in args.models:
+    # Spec grammar: Name[:depth[:width]] for the baselines, plus
+    # key=val overrides for any ModelConfig field, e.g.
+    #   HDRNetCurves:luma_bins=16:spatial_bin=32
     parts = spec.split(':')
     name = parts[0]
     kw = {}
-    if len(parts) > 1:
-      kw['depth'] = int(parts[1])
-    if len(parts) > 2:
-      kw['width'] = int(parts[2])
+    pos = ('depth', 'width')
+    for i, part in enumerate(parts[1:]):
+      if '=' in part:
+        k, v = part.split('=', 1)
+        kw[k] = int(v) if v.lstrip('-').isdigit() else v
+      else:
+        kw[pos[i]] = int(part)
     cfg = ModelConfig(model_name=name, **kw)
     model = make_model(cfg)
     # jit the init: eager per-op dispatch through the tunnel takes

@@ -17,6 +17,8 @@ for run in ll2048_l16s32 ll2048_l8s16_g05 ll1024_unet_d9_w32 \
 done
 
 python scripts/bench_models.py --res 2048 2048 --iters 50 \
+  --models HDRNetCurves HDRNetCurves:luma_bins=16:spatial_bin=32 \
+           HDRNetGaussianPyrNN UNet:9:32 DilatedConvolutions:3:64 \
   --out results/model_runtimes_2048.json
 
 python - <<'EOF'
@@ -58,7 +60,7 @@ def add(label_key, spec):
       if m:
         pts.append(f"{l.replace(':', ' ')}:{rec['psnr_db']:.2f}:{m}")
       break
-add('l16/s32', 'HDRNetCurves')   # runtime of the curves serving path
+add('l16/s32', 'HDRNetCurves:luma_bins=16:spatial_bin=32')
 add('l8/s16 @2048 (guide-lr', 'HDRNetCurves')
 add('UNet', 'UNet:9:32')
 add('Dilated', 'DilatedConvolutions:3:64')
