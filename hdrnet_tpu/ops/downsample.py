@@ -66,6 +66,11 @@ def pallas_feasible(h, w, s):
 def _make_kernel(per, q, offsets, white):
   u8 = white is not None
 
+  def dot(a_bf16, px_ref):
+    return jax.lax.dot_general(
+        a_bf16, px_ref[...].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
   def kern(img_ref, px_ref, out_ref):
     rows = []
     for qq in range(q):
@@ -76,17 +81,23 @@ def _make_kernel(per, q, offsets, white):
       # uint8 values are integers <= 255 — exactly representable in
       # bf16, so a single DEFAULT-precision MXU pass is exact; the
       # normalize happens after the selection (commutes exactly).
-      sel = sel.astype(jnp.bfloat16)
-      prec = jax.lax.Precision.DEFAULT
+      # (Mosaic has no direct u8->float cast; u8 -> i32 -> f32 -> bf16
+      # are all natively lowered and exact for integers <= 255.)
+      res = dot(sel.astype(jnp.int32).astype(jnp.float32)
+                .astype(jnp.bfloat16), px_ref)
     else:
-      # One-hot x f32: 3-pass bf16 (HIGH) is exact — the weight 1.0
-      # splits as (1.0, 0.0), so hi*1 + lo*1 + 0 reassembles x.
-      sel = sel.astype(jnp.float32)
-      prec = jax.lax.Precision.HIGH
-    res = jax.lax.dot_general(
-        sel, px_ref[...].astype(sel.dtype), (((1,), (0,)), ((), ())),
-        precision=prec,
-        preferred_element_type=jnp.float32)  # (q*per, s)
+      # One-hot x f32, bit-exact on the MXU: Mosaic only lowers
+      # DEFAULT-precision (single-pass bf16) dots, so split the f32
+      # operand into three bf16-exact parts (8 mantissa bits each
+      # covers f32's 24) and select each part separately — the one-hot
+      # weight is 1.0, so hi+mid+lo reassembles x exactly. This is the
+      # HIGH-precision algorithm written in supported ops.
+      x = sel.astype(jnp.float32)
+      hi = x.astype(jnp.bfloat16)
+      rem = x - hi.astype(jnp.float32)
+      mid = rem.astype(jnp.bfloat16)
+      lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+      res = dot(hi, px_ref) + dot(mid, px_ref) + dot(lo, px_ref)
     if u8:
       res = res / white
     for qq in range(q):

@@ -579,8 +579,11 @@ def _apply_epilogue(cfg, sliced, img, out_ref, row_start=None):
       acc = jnp.clip(acc, 0.0, 1.0)
     if cfg.u8_out:
       # Round-half-up requantize (same conversion as utils/image
-      # imwrite); clip_output is enforced by the wrapper.
-      acc = (acc * 255.0 + 0.5).astype(jnp.uint8)
+      # imwrite); clip_output is enforced by the wrapper. Mosaic has no
+      # direct f32->u8 cast; f32 -(fptosi)-> i32 -(trunci)-> u8 are
+      # natively lowered and truncation toward zero on [0.5, 255.5)
+      # keeps the round-half-up semantics.
+      acc = (acc * 255.0 + 0.5).astype(jnp.int32).astype(jnp.uint8)
     if row_start is None:
       out_ref[0, i] = acc
     else:
@@ -609,7 +612,11 @@ def _fused_fwd_kernel(cfg, a0_ref, b0_ref, off_ref, lg_ref, img_ref, *rest):
   def load(x):
     # uint8 streaming intake: dequantize as the plane leaves VMEM
     # (exact division — bitwise equal to the f32 path's frame/255).
-    return _f32(x) / 255.0 if cfg.u8_in else x
+    # Mosaic has no direct u8->f32 cast; u8 -(extui)-> i32 -(sitofp)->
+    # f32 are both natively lowered.
+    if cfg.u8_in:
+      return _f32(x.astype(jnp.int32)) / 255.0
+    return x
 
   def guide_of(c, img):
     if c.guide_mode == 'curves':
