@@ -112,6 +112,14 @@ def main(argv=None):
   args = parser.parse_args(argv)
 
   import jax
+  # Persistent compile cache: the 100-iteration unrolled chains are
+  # expensive to compile (~30-60 s each); cache them across runs.
+  import os
+  cache_dir = (os.environ.get('HDRNET_TPU_CACHE_DIR')
+               or os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               'output', 'jax_cache_bench'))
+  os.makedirs(cache_dir, exist_ok=True)
+  jax.config.update('jax_compilation_cache_dir', cache_dir)
   import jax.numpy as jnp
   from hdrnet_tpu.config import ModelConfig
   from hdrnet_tpu.models import make_model
