@@ -113,21 +113,132 @@ def _col_onehot(w, s):
   return p
 
 
-def nearest_lowres_cf(image_cf, s, interpret=False):
+# ---------------------------------------------------------------------------
+# Row-gather variant: DMA only the s needed source rows.
+#
+# The slab kernel above streams the FULL frame HBM->VMEM (95 MB for a
+# 4K f32 frame) although a nearest 4K->256 preview reads only 256 of
+# 2160 rows (~12 MB).  This variant keeps the frame in HBM (`ANY`),
+# prefetches the static source-row table into SMEM, and per program
+# issues one strided async copy per needed row — a (C, 1, W) slice, so
+# a single DMA fetches the row for every channel — into a VMEM scratch
+# that then feeds the same exact one-hot column contraction.
+# ---------------------------------------------------------------------------
+
+_GATHER_VMEM = 12 * 2 ** 20
+
+
+def _gather_plan(b, c, h, w, s):
+  """Rows-per-program K, or None if outside the kernel envelope."""
+  if h <= s or w < s:
+    return None
+  k = min(64, s)
+  while k > 1 and s % k:
+    k -= 1
+  if k < 8:
+    return None
+  scratch = c * k * w * 4
+  onehot = w * s * 4
+  if scratch + onehot + c * k * s * 4 > _GATHER_VMEM:
+    return None
+  return k
+
+
+def _make_gather_kernel(c, k, white):
+  u8 = white is not None
+
+  def dot(a_bf16, px_ref):
+    return jax.lax.dot_general(
+        a_bf16, px_ref[...].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+  def kern(iy_ref, img_ref, px_ref, out_ref, scr_ref, sem):
+    bi = pl.program_id(0)
+    kb = pl.program_id(1)
+    dmas = []
+    for t in range(k):
+      src = iy_ref[kb * k + t]
+      dma = pltpu.make_async_copy(
+          img_ref.at[bi, :, pl.ds(src, 1), :],
+          scr_ref.at[:, pl.ds(t, 1), :],
+          sem.at[t])
+      dma.start()
+      dmas.append(dma)
+    for dma in dmas:
+      dma.wait()
+    for cc in range(c):
+      sel = scr_ref[cc]  # (k, w)
+      if u8:
+        res = dot(sel.astype(jnp.int32).astype(jnp.float32)
+                  .astype(jnp.bfloat16), px_ref) / white
+      else:
+        # f32-exact 3-way bf16 split (see the slab kernel above).
+        x = sel.astype(jnp.float32)
+        hi = x.astype(jnp.bfloat16)
+        rem = x - hi.astype(jnp.float32)
+        mid = rem.astype(jnp.bfloat16)
+        lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        res = dot(hi, px_ref) + dot(mid, px_ref) + dot(lo, px_ref)
+      out_ref[0, cc] = res
+  return kern
+
+
+def _gather_lowres(image_cf, s, k, white, interpret):
+  b, c, h, w = image_cf.shape
+  iy = jnp.asarray(_nearest_indices(h, s), jnp.int32)
+  px = jnp.asarray(_col_onehot(w, s))
+  kern = _make_gather_kernel(c, k, white)
+  grid_spec = pltpu.PrefetchScalarGridSpec(
+      num_scalar_prefetch=1,
+      grid=(b, s // k),
+      in_specs=[
+          pl.BlockSpec(memory_space=pltpu.ANY),
+          pl.BlockSpec((w, s), lambda bi, kb, iy_ref: (0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((1, c, k, s),
+                             lambda bi, kb, iy_ref: (bi, 0, kb, 0),
+                             memory_space=pltpu.VMEM),
+      scratch_shapes=[
+          pltpu.VMEM((c, k, w), image_cf.dtype),
+          pltpu.SemaphoreType.DMA((k,)),
+      ],
+  )
+  out = pl.pallas_call(
+      kern,
+      grid_spec=grid_spec,
+      out_shape=jax.ShapeDtypeStruct((b, c, s, s), jnp.float32),
+      interpret=interpret,
+  )(iy, image_cf, px)
+  return out
+
+
+def nearest_lowres_cf(image_cf, s, interpret=False, variant=None):
   """(B, C, H, W) float32 or uint8 -> (B, C, s, s) float32 preview.
 
   Bit-exact to resize_nearest (ops/resize.py) on the same frame; a
   uint8 frame is normalized in-kernel (x/255, exactly matching
   normalize-then-downsample, since one-hot selection commutes with the
   scalar multiply) so the full-res frame never exists in f32.
+
+  `variant` forces a path for benchmarking: 'gather' (row-DMA kernel),
+  'slab' (full-frame streaming kernel), 'xla' (double take). Default
+  auto: gather if feasible, else slab, else XLA.
   """
   b, c, h, w = image_cf.shape
   u8 = image_cf.dtype == jnp.uint8
   white = 255.0 if u8 else None
   if (h, w) == (s, s):
     return image_cf.astype(jnp.float32) / white if u8 else image_cf
+  on_tpu = jax.default_backend() == 'tpu' or interpret
+  if variant != 'xla' and on_tpu:
+    k = _gather_plan(b, c, h, w, s)
+    if k is not None and variant in (None, 'gather'):
+      return _gather_lowres(image_cf, s, k, white, interpret)
+    if variant == 'gather':
+      raise ValueError(f'gather downsample infeasible for {image_cf.shape}')
   plan = _plan(h, w, s) if c == 3 else None
-  if plan is None or (jax.default_backend() != 'tpu' and not interpret):
+  if plan is None or not on_tpu or variant == 'xla':
     iy = jnp.asarray(_nearest_indices(h, s))
     ix = jnp.asarray(_nearest_indices(w, s))
     out = jnp.take(jnp.take(image_cf, iy, axis=2), ix, axis=3)

@@ -29,22 +29,35 @@ def main():
   enh = Enhancer(config=cfg, variables=variables)
   mode, gparams = enh._guide_args()[0]
 
-  def e2e_cf_pallas_ds(x):
-    cf = jnp.transpose(x, (0, 3, 1, 2))
-    low_cf = nearest_lowres_cf(cf, 256)
-    low = jnp.transpose(low_cf, (0, 2, 3, 1))
-    grid = enh._backbone_grid(low)
-    b, gh, gw, gd, no, ni1 = grid.shape
-    packed = grid.reshape(b, gh, gw, gd, no * ni1)
-    out_cf = pk.enhance_fused(packed, cf, gparams, mode, no, cfg.n_in,
-                              True, clip_output=True)
-    return jnp.transpose(out_cf, (0, 2, 3, 1))
+  def make_e2e(variant):
+    def e2e_cf_pallas_ds(x):
+      cf = jnp.transpose(x, (0, 3, 1, 2))
+      low_cf = nearest_lowres_cf(cf, 256, variant=variant)
+      low = jnp.transpose(low_cf, (0, 2, 3, 1))
+      grid = enh._backbone_grid(low)
+      b, gh, gw, gd, no, ni1 = grid.shape
+      packed = grid.reshape(b, gh, gw, gd, no * ni1)
+      out_cf = pk.enhance_fused(packed, cf, gparams, mode, no, cfg.n_in,
+                                True, clip_output=True)
+      return jnp.transpose(out_cf, (0, 2, 3, 1))
+    return e2e_cf_pallas_ds
 
   # exactness of the full path vs the current serving path
   ref = enh._forward(resize_nearest(full4k, (256, 256)), full4k, clip=True)
-  got = e2e_cf_pallas_ds(full4k)
-  d = float(jnp.max(jnp.abs(ref - got)))
-  print(f'pallas-ds e2e max|diff| vs current path: {d:.2e}', flush=True)
+  for variant in ('slab', 'gather'):
+    got = make_e2e(variant)(full4k)
+    d = float(jnp.max(jnp.abs(ref - got)))
+    print(f'{variant}-ds e2e max|diff| vs current path: {d:.2e}', flush=True)
+  # standalone kernel exactness at 4K (u8 + f32) vs the XLA table path
+  rngu = np.random.RandomState(7)
+  cf_u8 = jnp.asarray(rngu.randint(0, 256, (1, 3, H, W)), jnp.uint8)
+  cf_f32 = jnp.transpose(full4k, (0, 3, 1, 2))
+  for x, name in ((cf_f32, 'f32'), (cf_u8, 'u8')):
+    refd = jax.jit(lambda v: nearest_lowres_cf(v, 256, variant='xla'))(x)
+    for variant in ('slab', 'gather'):
+      gotd = jax.jit(lambda v, _v=variant: nearest_lowres_cf(v, 256, variant=_v))(x)
+      d = float(jnp.max(jnp.abs(refd - gotd)))
+      print(f'{variant} {name} 4K max|diff| vs xla: {d:.2e}', flush=True)
 
   n = 100
   def fb(fn, x0, repeats=3):
@@ -60,9 +73,10 @@ def main():
       t0 = time.time(); float(chain(x0)); ts.append(time.time() - t0)
     return sorted(ts)[len(ts) // 2] / n, comp
 
-  t, c = fb(e2e_cf_pallas_ds, full4k)
-  print(f'e2e pallas-ds : {t*1e3:6.3f} ms ({1/t:.1f} fps) compile {c:.0f}s',
-        flush=True)
+  for variant in ('slab', 'gather'):
+    t, c = fb(make_e2e(variant), full4k)
+    print(f'e2e {variant:6s}-ds : {t*1e3:6.3f} ms ({1/t:.1f} fps) '
+          f'compile {c:.0f}s', flush=True)
 
   # standalone ds cost (feedback via kernel-less chain is collapsible, so
   # derive from e2e difference instead): e2e without ds (lowres given)

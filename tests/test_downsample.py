@@ -15,30 +15,34 @@ import jax.numpy as jnp
 import pytest
 
 from hdrnet_tpu.ops.downsample import (nearest_lowres_cf, pallas_feasible,
-                                       _plan)
+                                       _plan, _gather_plan)
 from hdrnet_tpu.ops.resize import _nearest_indices
 
 SIZES = [(270, 480, 32), (135, 240, 64), (256, 256, 64), (512, 512, 64)]
+VARIANTS = ['slab', 'gather']
 
 
+@pytest.mark.parametrize('variant', VARIANTS)
 @pytest.mark.parametrize('size', SIZES)
-def test_f32_bit_exact(size):
+def test_f32_bit_exact(size, variant):
   h, w, s = size
   rng = np.random.RandomState(0)
   x = jnp.asarray(rng.rand(1, 3, h, w), np.float32)
   assert pallas_feasible(h, w, s), _plan(h, w, s)
-  got = nearest_lowres_cf(x, s, interpret=True)
+  assert _gather_plan(1, 3, h, w, s) is not None
+  got = nearest_lowres_cf(x, s, interpret=True, variant=variant)
   iy, ix = _nearest_indices(h, s), _nearest_indices(w, s)
   ref = np.asarray(x)[:, :, iy][:, :, :, ix]
   np.testing.assert_array_equal(np.asarray(got), ref)
 
 
+@pytest.mark.parametrize('variant', VARIANTS)
 @pytest.mark.parametrize('size', SIZES[:2])
-def test_u8_within_one_ulp(size):
+def test_u8_within_one_ulp(size, variant):
   h, w, s = size
   rng = np.random.RandomState(1)
   x = jnp.asarray(rng.randint(0, 256, (1, 3, h, w)), jnp.uint8)
-  got = nearest_lowres_cf(x, s, interpret=True)
+  got = nearest_lowres_cf(x, s, interpret=True, variant=variant)
   iy, ix = _nearest_indices(h, s), _nearest_indices(w, s)
   ref = np.asarray(x)[:, :, iy][:, :, :, ix].astype(np.float32) / 255.0
   np.testing.assert_allclose(np.asarray(got), ref, atol=1e-7)
@@ -48,6 +52,17 @@ def test_u8_within_one_ulp(size):
       (ref * 255.0 + 0.5).astype(np.uint8))
 
 
+def test_batched_gather():
+  h, w, s = 135, 240, 64
+  rng = np.random.RandomState(2)
+  x = jnp.asarray(rng.rand(3, 3, h, w), np.float32)
+  got = nearest_lowres_cf(x, s, interpret=True, variant='gather')
+  iy, ix = _nearest_indices(h, s), _nearest_indices(w, s)
+  ref = np.asarray(x)[:, :, iy][:, :, :, ix]
+  np.testing.assert_array_equal(np.asarray(got), ref)
+
+
 def test_serving_plans_exist():
   for h, w in [(2160, 3840), (1080, 1920), (2048, 2048), (1024, 1024)]:
     assert pallas_feasible(h, w, 256), (h, w)
+    assert _gather_plan(1, 3, h, w, 256) is not None, (h, w)
