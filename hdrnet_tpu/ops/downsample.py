@@ -27,6 +27,7 @@ gather path off-TPU or for shapes outside the kernel's envelope.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -223,7 +224,8 @@ def nearest_lowres_cf(image_cf, s, interpret=False, variant=None):
 
   `variant` forces a path for benchmarking: 'gather' (row-DMA kernel),
   'slab' (full-frame streaming kernel), 'xla' (double take). Default
-  auto: gather if feasible, else slab, else XLA.
+  auto: gather if feasible (unless HDRNET_TPU_DS_VARIANT overrides),
+  else slab, else XLA.
   """
   b, c, h, w = image_cf.shape
   u8 = image_cf.dtype == jnp.uint8
@@ -231,6 +233,10 @@ def nearest_lowres_cf(image_cf, s, interpret=False, variant=None):
   if (h, w) == (s, s):
     return image_cf.astype(jnp.float32) / white if u8 else image_cf
   on_tpu = jax.default_backend() == 'tpu' or interpret
+  if variant is None:
+    # Default 'slab' until the gather kernel is revalidated on real
+    # hardware after any change (flip via env or here once measured).
+    variant = os.environ.get('HDRNET_TPU_DS_VARIANT', 'slab')
   if variant != 'xla' and on_tpu:
     k = _gather_plan(b, c, h, w, s)
     if k is not None and variant in (None, 'gather'):

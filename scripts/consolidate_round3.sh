@@ -1,7 +1,9 @@
 #!/bin/bash
 # Post-queue consolidation: copy round-3 quality artifacts into
-# results/, measure per-model runtimes, and build the
-# quality-vs-runtime figure (the reference's compare_to_unet figure).
+# results/, write the quality summary JSON, measure per-model runtimes,
+# and build the quality-vs-runtime figure (the reference's
+# compare_to_unet figure). Ordered so the device-independent artifacts
+# land even if the on-device runtime measurement fails (tunnel).
 set -xe
 cd "$(dirname "$0")/.."
 
@@ -16,11 +18,7 @@ for run in ll2048_l16s32 ll2048_l8s16_g05 ll1024_unet_d9_w32 \
   fi
 done
 
-python scripts/bench_models.py --res 2048 2048 --iters 50 \
-  --models HDRNetCurves HDRNetCurves:luma_bins=16:spatial_bin=32 \
-           HDRNetGaussianPyrNN UNet:9:32 DilatedConvolutions:3:64 \
-  --out results/model_runtimes_2048.json
-
+# --- 1. quality summary from whatever evals exist (CPU-only)
 python - <<'EOF'
 import json, os
 rows = []
@@ -30,6 +28,7 @@ for run, label in [
     ('results/ll2048_l8s16_cos', 'HDRNetCurves l8/s16 @2048 (round 2)'),
     ('ll1024_unet_d9_w32', 'UNet d9/w32 @1024'),
     ('ll1024_dilated_d3_w64', 'Dilated d3/w64 @1024'),
+    ('results/ll_gpyrnn_cos', 'GaussianPyrNN @1024 (round 2)'),
     ('ll_gpyrnn_g05', 'GaussianPyrNN @1024 (guide-lr 0.5)'),
 ]:
   p = run if run.startswith('results/') else f'results/{run}'
@@ -44,9 +43,17 @@ json.dump({l: {'psnr_db': p, 'step': s} for l, p, s in rows},
           open('results/round3_quality.json', 'w'), indent=2)
 EOF
 
-# Figure: framework points (PSNR from evals, runtime from bench_models)
+# --- 2. per-model runtimes (on-device; may fail if the tunnel is down)
+python scripts/bench_models.py --res 2048 2048 --iters 50 \
+  --models HDRNetCurves HDRNetCurves:luma_bins=16:spatial_bin=32 \
+           HDRNetGaussianPyrNN UNet:9:32 DilatedConvolutions:3:64 \
+  --out results/model_runtimes_2048.json || true
+
+# --- 3. figure: framework points (PSNR from evals, runtime from step 2)
 python - <<'EOF'
-import json
+import json, os
+if not os.path.exists('results/model_runtimes_2048.json'):
+  print('no runtimes (tunnel?) — figure skipped'); raise SystemExit
 rt = json.load(open('results/model_runtimes_2048.json'))
 q = json.load(open('results/round3_quality.json'))
 args = ['results/compare_baselines.png']
@@ -65,11 +72,12 @@ add('l8/s16 @2048 (guide-lr', 'HDRNetCurves')
 add('UNet', 'UNet:9:32')
 add('Dilated', 'DilatedConvolutions:3:64')
 add('GaussianPyrNN', 'HDRNetGaussianPyrNN')
+if not pts:
+  print('no joinable points — figure skipped'); raise SystemExit
 for p in pts:
   args += ['--point', p]
-import sys
 from hdrnet_tpu.bin import compare_baselines
 compare_baselines.main(args)
-print('figure written')
+print('figure written with %d points' % len(pts))
 EOF
 echo CONSOLIDATE_DONE
