@@ -111,6 +111,25 @@ def main(argv=None):
                            'stage costs are always reported)')
   args = parser.parse_args(argv)
 
+  # Fail fast (exit 3) if the device link is wedged: a dead axon tunnel
+  # hangs every device call in a futex wait, which would make this
+  # benchmark block forever instead of reporting a diagnosable error.
+  # The probe runs in a subprocess so the timeout also covers backend
+  # initialization; 240 s covers a cold first-compile over the tunnel.
+  import subprocess
+  try:
+    subprocess.run(
+        [sys.executable, '-c',
+         'import jax, jax.numpy as jnp;'
+         'print(float(jax.jit(lambda a: (a * a + 1).sum())'
+         '(jnp.ones((8, 8)))))'],
+        check=True, timeout=240, stdout=subprocess.DEVNULL)
+  except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+    print(f'bench.py: device liveness probe failed ({e!r}) — '
+          'TPU tunnel down or backend broken; refusing to hang.',
+          file=sys.stderr)
+    return 3
+
   import jax
   # Persistent compile cache: the 100-iteration unrolled chains are
   # expensive to compile (~30-60 s each); cache them across runs.
@@ -285,4 +304,4 @@ def main(argv=None):
 
 
 if __name__ == '__main__':
-  main()
+  sys.exit(main())
