@@ -1,34 +1,32 @@
 #!/bin/bash
-# Round-3 endgame orchestrator. Written during the 18:02+ tunnel outage;
-# runs unattended (setsid) so the plan survives session loss.
+# Round-3 endgame orchestrator, v2. The Dilated leg died at step 28646
+# when the tunnel outage outlasted the runtime's 8 reconnect attempts
+# (last durable checkpoint: 26094), so the chip is idle — bench first
+# for clean numbers, then resume training with clock-adaptive budgets.
+# Runs unattended (setsid) so the plan survives session loss.
 #
 #  1. wait for the axon tunnel to come back
 #  2. validate the row-gather preview-downsample kernel on-chip
-#     (scripts/exp_downsample.py: bit-exactness vs XLA at 4K f32+u8,
-#     plus e2e timing gather-vs-slab)
-#  3. let the in-flight Dilated leg finish; kill the frozen queue bash;
-#     eval the Dilated checkpoint
-#  4. final bench.py with the validated-fastest downsample variant
-#  5. time-boxed UNet d9/w32 baseline (budget shrinks the later the
-#     tunnel returns), eval
+#     (bit-exactness vs XLA at 4K f32+u8 + e2e timing gather-vs-slab)
+#  3. final bench.py on the idle chip with the validated-fastest variant
+#  4. resume Dilated d3/w64 from its checkpoint (budget by the clock),
+#     eval
+#  5. time-boxed UNet d9/w32 baseline, eval
 #  6. consolidate: quality json + runtimes + compare figure
 set -x
 cd "$(dirname "$0")/../.."
-DILATED_PID=${DILATED_PID:-32116}
-QUEUE_BASH_PID=${QUEUE_BASH_PID:-32113}
 
 # ---- 1. tunnel wait
 until timeout 60 python -c "
 import jax, jax.numpy as jnp
 print(float(jax.jit(lambda a: (a*a+1).sum())(jnp.ones((8,8)))))" \
     > /dev/null 2>&1; do
-  echo "tunnel down $(date +%T)"
+  echo "tunnel down $(date -u +%T)"
   sleep 60
 done
-echo "TUNNEL UP $(date +%T)"
+echo "TUNNEL UP $(date -u +%T)"
 
-# ---- 2. downsample validation (small HBM footprint; training may still
-# be running concurrently — time-shared, correctness unaffected)
+# ---- 2. downsample validation
 timeout 1800 python scripts/exp_downsample.py \
   > results/exp_downsample_r3.txt 2>&1 || true
 cat results/exp_downsample_r3.txt
@@ -50,36 +48,50 @@ EOF
 )
 echo "DS_VARIANT=$DS_VARIANT"
 
-# ---- 3. dilated leg
-while kill -0 "$DILATED_PID" 2>/dev/null; do sleep 30; done
-kill -9 "$QUEUE_BASH_PID" 2>/dev/null
+# ---- 3. final bench on the idle chip
+HDRNET_TPU_DS_VARIANT=$DS_VARIANT timeout 3600 python bench.py \
+  > results/bench_round3_final.json \
+  2> results/bench_round3_final_stages.txt || true
+cat results/bench_round3_final_stages.txt results/bench_round3_final.json
+
+COMMON1024B1="--eval_data_dir data_ll/test --batch_size 1 \
+  --output_resolution 1024 1024 --fliplr --flipud --rotate \
+  --norandom_crop --cache_images --device_normalize --device_data \
+  --learning_rate 1e-4 --lr_schedule cosine --lr_end 1e-6 \
+  --lr_warmup_steps 500"
+
+# ---- 4. Dilated: resume from ckpt 26094 toward 40k, budget by clock
+H=$(date -u +%H%M)
+if [ "$H" -ge 100 ] && [ "$H" -lt 1200 ]; then DSTEPS=26094   # past midnight: eval as-is
+elif [ "$H" -lt 2245 ]; then DSTEPS=40000
+elif [ "$H" -lt 2320 ]; then DSTEPS=34000
+else DSTEPS=30000; fi
+if [ "$DSTEPS" -gt 26094 ]; then
+  timeout 5400 python -m hdrnet_tpu.bin.train \
+    output/ll1024_dilated_d3_w64 data_ll/train \
+    $COMMON1024B1 --model_name DilatedConvolutions --depth 3 --width 64 \
+    --max_steps "$DSTEPS" || true
+fi
 timeout 2400 python -m hdrnet_tpu.bin.evaluate \
   output/ll1024_dilated_d3_w64 data_ll/test \
   --json output/ll1024_dilated_d3_w64/eval_test.json || true
 
-# ---- 4. final bench on an otherwise-idle chip
-HDRNET_TPU_DS_VARIANT=$DS_VARIANT timeout 3600 python bench.py \
-  > results/bench_round3_final.json \
-  2> results/bench_round3_final_stages.txt || true
-cat results/bench_round3_final_stages.txt
-
-# ---- 5. UNet baseline, budget by how late it is (UTC)
+# ---- 5. UNet baseline, budget by the clock (~8-10 steps/s expected)
 H=$(date -u +%H%M)
-if [ "$H" -lt 2230 ]; then STEPS=20000
-elif [ "$H" -lt 2315 ]; then STEPS=12000
-else STEPS=6000; fi
-rm -rf output/ll1024_unet_d9_w32
-timeout 7200 python -m hdrnet_tpu.bin.train \
-  output/ll1024_unet_d9_w32 data_ll/train \
-  --eval_data_dir data_ll/test --batch_size 1 \
-  --output_resolution 1024 1024 --fliplr --flipud --rotate \
-  --norandom_crop --cache_images --device_normalize --device_data \
-  --learning_rate 1e-4 --lr_schedule cosine --lr_end 1e-6 \
-  --lr_warmup_steps 500 --model_name UNet --depth 9 --width 32 \
-  --max_steps "$STEPS" || true
-timeout 2400 python -m hdrnet_tpu.bin.evaluate \
-  output/ll1024_unet_d9_w32 data_ll/test \
-  --json output/ll1024_unet_d9_w32/eval_test.json || true
+if [ "$H" -ge 100 ] && [ "$H" -lt 1200 ]; then USTEPS=0
+elif [ "$H" -lt 2300 ]; then USTEPS=15000
+elif [ "$H" -lt 2340 ]; then USTEPS=8000
+else USTEPS=4000; fi
+if [ "$USTEPS" -gt 0 ]; then
+  rm -rf output/ll1024_unet_d9_w32
+  timeout 7200 python -m hdrnet_tpu.bin.train \
+    output/ll1024_unet_d9_w32 data_ll/train \
+    $COMMON1024B1 --model_name UNet --depth 9 --width 32 \
+    --max_steps "$USTEPS" || true
+  timeout 2400 python -m hdrnet_tpu.bin.evaluate \
+    output/ll1024_unet_d9_w32 data_ll/test \
+    --json output/ll1024_unet_d9_w32/eval_test.json || true
+fi
 
 # ---- 6. consolidate (quality json, per-model runtimes, figure)
 bash scripts/consolidate_round3.sh > output/consolidate.log 2>&1 || true
