@@ -8,7 +8,7 @@ set -xe
 cd "$(dirname "$0")/.."
 
 for run in ll2048_l16s32 ll2048_l8s16_g05 ll1024_unet_d9_w32 \
-           ll1024_dilated_d3_w64 ll_gpyrnn_g05; do
+           ll1024_dilated_d3_w64 ll_gpyrnn_g05 ll1024_l16s32_b4; do
   if [ -d "output/$run" ]; then
     mkdir -p "results/$run"
     cp -f "output/$run"/eval_test.json "results/$run/" 2>/dev/null || true
@@ -24,6 +24,7 @@ import json, os
 rows = []
 for run, label in [
     ('ll2048_l16s32', 'HDRNetCurves l16/s32 @2048'),
+    ('ll1024_l16s32_b4', 'HDRNetCurves l16/s32 @1024 b4'),
     ('ll2048_l8s16_g05', 'HDRNetCurves l8/s16 @2048 (guide-lr 0.5)'),
     ('results/ll2048_l8s16_cos', 'HDRNetCurves l8/s16 @2048 (round 2)'),
     ('ll1024_unet_d9_w32', 'UNet d9/w32 @1024'),
