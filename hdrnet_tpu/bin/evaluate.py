@@ -29,6 +29,14 @@ def main(argv=None):
   parser.add_argument('--limit', type=int, default=None)
   parser.add_argument('--json', dest='json_out', default=None,
                       help='write results to this JSON file')
+  parser.add_argument('--serving', action='store_true',
+                      help='evaluate through the serving path (fused '
+                           'kernel where available) instead of the '
+                           'training graph — proves serving quality '
+                           'parity on a real checkpoint')
+  parser.add_argument('--coeff_bf16', action='store_true',
+                      help='with --serving: bfloat16 coefficient '
+                           'backbone (A/B for the opt-in fast path)')
   args = parser.parse_args(argv)
 
   import jax
@@ -64,13 +72,22 @@ def main(argv=None):
   if state.batch_stats:
     variables['batch_stats'] = state.batch_stats
 
+  if args.serving:
+    from hdrnet_tpu.inference import Enhancer
+    enh = Enhancer(config=config.model, variables=variables,
+                   coeff_bf16=args.coeff_bf16)
+    log.info('serving-path eval: fused=%s coeff_bf16=%s', enh.use_fused,
+             enh.coeff_bf16)
+    fwd = lambda low, full: enh._forward(low, full, clip=False)
+  else:
+    fwd = lambda low, full: model.apply(variables, low, full)
+
   @jax.jit
   def ev(batch):
     # Raw-dtype batches (a checkpoint trained with --device_normalize
     # persists that pipeline setting) are normalized on device here.
     batch = normalize_batch(batch)
-    out = model.apply(variables, batch['lowres_input'],
-                      batch['image_input'])
+    out = fwd(batch['lowres_input'], batch['image_input'])
     return (metrics.psnr(batch['image_output'], out),
             metrics.l2_loss(batch['image_output'], out))
 
@@ -87,6 +104,9 @@ def main(argv=None):
   result = {'step': int(state.step), 'n_images': n,
             'mean_psnr_db': float(np.mean(psnrs)),
             'mean_l2': float(np.mean(losses))}
+  if args.serving:
+    result['serving'] = {'fused': bool(enh.use_fused),
+                         'coeff_bf16': bool(enh.coeff_bf16)}
   log.info('step %d | mean PSNR = %.2f dB | mean L2 = %.5f over %d images',
            result['step'], result['mean_psnr_db'], result['mean_l2'], n)
   print(json.dumps(result))

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 
 import jax
 import jax.numpy as jnp
@@ -82,7 +83,7 @@ class Enhancer:
   """Loads a trained model and serves full-res enhancement."""
 
   def __init__(self, checkpoint_dir=None, *, config=None, variables=None,
-               use_fused=True, interpret=False):
+               use_fused=True, interpret=False, coeff_bf16=None):
     if checkpoint_dir is not None:
       from hdrnet_tpu.training.checkpoint import Checkpointer
       from hdrnet_tpu.training.loop import make_tx
@@ -108,7 +109,13 @@ class Enhancer:
     self.model = make_model(self.model_cfg)
     self.variables = variables
     self.interpret = interpret
+    if coeff_bf16 is None:
+      coeff_bf16 = os.environ.get('HDRNET_TPU_COEFF_BF16', '0') == '1'
+    self.coeff_bf16 = coeff_bf16
     self.use_fused = use_fused and self._fusable()
+    if self.coeff_bf16 and not self.use_fused:
+      log.warning('Enhancer: coeff_bf16 only applies to the fused serving '
+                  'path; the composite fallback stays f32')
     self._jitted = {}
 
   def _fusable(self):
@@ -135,7 +142,14 @@ class Enhancer:
   # -- fused forward ----------------------------------------------------
 
   def _backbone_grid(self, lowres):
-    """Coefficient-backbone forward: lowres -> rank-6 bilateral grid."""
+    """Coefficient-backbone forward: lowres -> rank-6 bilateral grid.
+
+    With ``HDRNET_TPU_COEFF_BF16=1`` (or ``coeff_bf16=True``) the
+    backbone's convs/FCs run in bfloat16 on the MXU and the grid is cast
+    back to f32 for the slice kernel. bf16's ~0.4% relative error on the
+    affine coefficients is about one u8 output quantum — opt-in for
+    serving, never used in training.
+    """
     from hdrnet_tpu.models.hdrnet import CoefficientBackbone
     bb_vars = {'params': self.variables['params']['coefficients']}
     if 'coefficients' in self.variables.get('batch_stats', {}):
@@ -143,6 +157,13 @@ class Enhancer:
           'coefficients']
     backbone = CoefficientBackbone(self.model_cfg, self.model.n_out,
                                    self.model.n_in_tot)
+    if self.coeff_bf16:
+      cast = lambda a: (a.astype(jnp.bfloat16)
+                        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                        else a)
+      bb_vars = jax.tree.map(cast, bb_vars)
+      return backbone.apply(bb_vars, lowres.astype(jnp.bfloat16)).astype(
+          jnp.float32)
     return backbone.apply(bb_vars, lowres)
 
   def _fused_forward_cf(self, lowres, img_cf, clip=False):

@@ -28,6 +28,9 @@ def main():
                  default=['HDRNetCurves', 'HDRNetGaussianPyrNN',
                           'UNet:9:32', 'DilatedConvolutions:3:64'])
   p.add_argument('--out', type=str, default=None)
+  p.add_argument('--coeff_bf16', action='store_true',
+                 help='run the coefficient backbone in bfloat16 '
+                      '(serving A/B for the opt-in fast path)')
   args = p.parse_args()
 
   import jax
@@ -64,7 +67,8 @@ def main():
     variables = jax.jit(lambda k: model.init(k, lowres, full,
                                              train=True))(
         jax.random.PRNGKey(0))
-    enh = Enhancer(config=cfg, variables=variables)
+    enh = Enhancer(config=cfg, variables=variables,
+                   coeff_bf16=args.coeff_bf16)
 
     def step(f):
       return enh._forward(lowres, f, clip=True)

@@ -44,6 +44,17 @@ json.dump({l: {'psnr_db': p, 'step': s} for l, p, s in rows},
           open('results/round3_quality.json', 'w'), indent=2)
 EOF
 
+# --- 1b. serving-path quality parity on the flagship checkpoint:
+#   eval PSNR through the fused serving kernel must match the training
+#   graph; plus the bf16-backbone A/B (opt-in fast path).
+if [ -d output/ll2048_l16s32 ]; then
+  python -m hdrnet_tpu.bin.evaluate output/ll2048_l16s32 data_ll2048/test \
+    --serving --json results/ll2048_l16s32/eval_serving.json || true
+  python -m hdrnet_tpu.bin.evaluate output/ll2048_l16s32 data_ll2048/test \
+    --serving --coeff_bf16 \
+    --json results/ll2048_l16s32/eval_serving_bf16.json || true
+fi
+
 # --- 2. per-model runtimes (on-device; may fail if the tunnel is down)
 python scripts/bench_models.py --res 2048 2048 --iters 50 \
   --models HDRNetCurves HDRNetCurves:luma_bins=16:spatial_bin=32 \

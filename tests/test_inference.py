@@ -206,3 +206,26 @@ def test_stream_matches_per_frame():
     assert (diff != 0).mean() < 0.01
   # One stream fn + one per-frame fn in the jit cache.
   assert ('stream', (1, 96, 128, 3)) in enh._jitted
+
+
+def test_coeff_bf16_backbone_close():
+  """Opt-in bf16 coefficient backbone: grid within bf16 tolerance of f32
+  and the fused output within ~1 u8 quantum."""
+  cfg, model, variables, lowres, fullres = _setup('HDRNetCurves')
+  f32 = Enhancer(config=cfg, variables=variables, interpret=True)
+  b16 = Enhancer(config=cfg, variables=variables, interpret=True,
+                 coeff_bf16=True)
+  assert not f32.coeff_bf16 and b16.coeff_bf16
+  g_f32 = np.asarray(f32._backbone_grid(lowres))
+  g_b16 = np.asarray(b16._backbone_grid(lowres))
+  assert g_b16.dtype == np.float32
+  scale = max(1.0, float(np.abs(g_f32).max()))
+  assert np.abs(g_b16 - g_f32).max() / scale < 3e-2
+  out_f32 = np.asarray(f32(lowres, fullres, clip=False))
+  out_b16 = np.asarray(b16(lowres, fullres, clip=False))
+  # Random-init outputs span ~[-2.3, 1]; gate on relative error (the
+  # absolute effect on a trained [0,1]-range model is measured on-chip
+  # by eval-PSNR A/B, scripts/bench_models.py --coeff_bf16).
+  rel = np.abs(out_b16 - out_f32).max() / max(1.0,
+                                              float(np.abs(out_f32).max()))
+  assert rel < 2e-2, rel

@@ -182,6 +182,21 @@ def test_evaluate_cli(dataset, tmp_path, capsys):
   assert np.isfinite(result['mean_psnr_db'])
   assert result['mean_l2'] >= 0.0
 
+  # Serving-path eval on the same checkpoint must agree with the
+  # training graph (composite fallback on CPU; bit-identical math).
+  evaluate_main([ckpt, str(dataset), '--limit', '2', '--serving'])
+  srv = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+  assert srv['serving'] == {'fused': False, 'coeff_bf16': False}
+  np.testing.assert_allclose(srv['mean_psnr_db'], result['mean_psnr_db'],
+                             rtol=1e-5)
+
+  # bf16 backbone A/B: close, not identical.
+  evaluate_main([ckpt, str(dataset), '--limit', '2', '--serving',
+                 '--coeff_bf16'])
+  b16 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+  assert b16['serving']['coeff_bf16'] is True
+  assert abs(b16['mean_psnr_db'] - result['mean_psnr_db']) < 1.0
+
 
 def test_train_device_data_converges(dataset, tmp_path):
   """The device-resident dataset path (data/device.py): whole dataset in
