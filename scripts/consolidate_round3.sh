@@ -61,6 +61,11 @@ python scripts/bench_models.py --res 2048 2048 --iters 50 \
            HDRNetGaussianPyrNN UNet:9:32 DilatedConvolutions:3:64 \
   --out results/model_runtimes_2048.json || true
 
+# --- 2b. bf16-backbone speed A/B (same method, curves models only)
+python scripts/bench_models.py --res 2048 2048 --iters 50 --coeff_bf16 \
+  --models HDRNetCurves HDRNetCurves:luma_bins=16:spatial_bin=32 \
+  --out results/model_runtimes_2048_bf16.json || true
+
 # --- 3. figure: framework points (PSNR from evals, runtime from step 2)
 python - <<'EOF'
 import json, os
