@@ -124,6 +124,17 @@ def _col_onehot(w, s):
 # issues one strided async copy per needed row — a (C, 1, W) slice, so
 # a single DMA fetches the row for every channel — into a VMEM scratch
 # that then feeds the same exact one-hot column contraction.
+#
+# MEASURED INFEASIBLE on real v5e Mosaic (round 3,
+# results/exp_downsample_r3.txt): a dynamic single-row slice of an
+# (8,128)-tiled f32 HBM memref is rejected at compile time — "Slice
+# shape along dimension 2 must be aligned to tiling (8), but is 1" —
+# and widening each copy to the 8-row aligned block containing the row
+# would DMA 256*8 rows ~= the whole frame, erasing the point of the
+# variant.  The kernel is kept for interpret-mode CI coverage and for
+# a future libtpu that supports sub-tile row DMA; production serving
+# uses the slab kernel (validated bit-exact vs the XLA table path and
+# vs the full serving pipeline in the same experiment).
 # ---------------------------------------------------------------------------
 
 _GATHER_VMEM = 12 * 2 ** 20
