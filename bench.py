@@ -116,16 +116,32 @@ def main(argv=None):
   # benchmark block forever instead of reporting a diagnosable error.
   # The probe runs in a subprocess so the timeout also covers backend
   # initialization; 240 s covers a cold first-compile over the tunnel.
+  # Tunnel outages are often transient (the round-3 capture failed on a
+  # single probe while the tunnel came back the same day), so retry with
+  # backoff inside a bounded window before giving up.
   import subprocess
-  try:
-    subprocess.run(
-        [sys.executable, '-c',
-         'import jax, jax.numpy as jnp;'
-         'print(float(jax.jit(lambda a: (a * a + 1).sum())'
-         '(jnp.ones((8, 8)))))'],
-        check=True, timeout=240, stdout=subprocess.DEVNULL)
-  except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
-    print(f'bench.py: device liveness probe failed ({e!r}) — '
+  probe_ok = False
+  last_err = None
+  for attempt, backoff in enumerate((0, 60, 180)):
+    if backoff:
+      print(f'bench.py: liveness probe retry in {backoff} s '
+            f'(attempt {attempt + 1}/3)...', file=sys.stderr)
+      time.sleep(backoff)
+    try:
+      subprocess.run(
+          [sys.executable, '-c',
+           'import jax, jax.numpy as jnp;'
+           'print(float(jax.jit(lambda a: (a * a + 1).sum())'
+           '(jnp.ones((8, 8)))))'],
+          check=True, timeout=240, stdout=subprocess.DEVNULL)
+      probe_ok = True
+      break
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+      last_err = e
+      print(f'bench.py: device liveness probe failed ({e!r})',
+            file=sys.stderr)
+  if not probe_ok:
+    print(f'bench.py: all liveness probes failed (last: {last_err!r}) — '
           'TPU tunnel down or backend broken; refusing to hang.',
           file=sys.stderr)
     return 3

@@ -234,9 +234,11 @@ def nearest_lowres_cf(image_cf, s, interpret=False, variant=None):
   scalar multiply) so the full-res frame never exists in f32.
 
   `variant` forces a path for benchmarking: 'gather' (row-DMA kernel),
-  'slab' (full-frame streaming kernel), 'xla' (double take). Default
-  auto: gather if feasible (unless HDRNET_TPU_DS_VARIANT overrides),
-  else slab, else XLA.
+  'slab' (full-frame streaming kernel), 'xla' (double take). Default is
+  'slab' (env-overridable via HDRNET_TPU_DS_VARIANT): the gather
+  variant currently fails Mosaic compilation on real v5e (sub-tile row
+  DMA rejected, see the gather-kernel comment above) and is kept for
+  interpret-mode coverage only.
   """
   b, c, h, w = image_cf.shape
   u8 = image_cf.dtype == jnp.uint8

@@ -42,12 +42,18 @@ def main():
       return jnp.transpose(out_cf, (0, 2, 3, 1))
     return e2e_cf_pallas_ds
 
-  # exactness of the full path vs the current serving path
+  # exactness of the full path vs the current serving path.  The gather
+  # variant fails Mosaic compilation on real v5e (sub-tile row DMA) —
+  # guard it so the slab lines are always captured.
   ref = enh._forward(resize_nearest(full4k, (256, 256)), full4k, clip=True)
   for variant in ('slab', 'gather'):
-    got = make_e2e(variant)(full4k)
-    d = float(jnp.max(jnp.abs(ref - got)))
-    print(f'{variant}-ds e2e max|diff| vs current path: {d:.2e}', flush=True)
+    try:
+      got = make_e2e(variant)(full4k)
+      d = float(jnp.max(jnp.abs(ref - got)))
+      print(f'{variant}-ds e2e max|diff| vs current path: {d:.2e}', flush=True)
+    except Exception as e:
+      print(f'{variant}-ds e2e FAILED: {type(e).__name__}: '
+            f'{str(e)[:160]}', flush=True)
   # standalone kernel exactness at 4K (u8 + f32) vs the XLA table path
   rngu = np.random.RandomState(7)
   cf_u8 = jnp.asarray(rngu.randint(0, 256, (1, 3, H, W)), jnp.uint8)
@@ -55,9 +61,13 @@ def main():
   for x, name in ((cf_f32, 'f32'), (cf_u8, 'u8')):
     refd = jax.jit(lambda v: nearest_lowres_cf(v, 256, variant='xla'))(x)
     for variant in ('slab', 'gather'):
-      gotd = jax.jit(lambda v, _v=variant: nearest_lowres_cf(v, 256, variant=_v))(x)
-      d = float(jnp.max(jnp.abs(refd - gotd)))
-      print(f'{variant} {name} 4K max|diff| vs xla: {d:.2e}', flush=True)
+      try:
+        gotd = jax.jit(lambda v, _v=variant: nearest_lowres_cf(v, 256, variant=_v))(x)
+        d = float(jnp.max(jnp.abs(refd - gotd)))
+        print(f'{variant} {name} 4K max|diff| vs xla: {d:.2e}', flush=True)
+      except Exception as e:
+        print(f'{variant} {name} 4K vs xla FAILED: {type(e).__name__}: '
+              f'{str(e)[:160]}', flush=True)
 
   n = 100
   def fb(fn, x0, repeats=3):
@@ -73,10 +83,17 @@ def main():
       t0 = time.time(); float(chain(x0)); ts.append(time.time() - t0)
     return sorted(ts)[len(ts) // 2] / n, comp
 
+  t = None
   for variant in ('slab', 'gather'):
-    t, c = fb(make_e2e(variant), full4k)
-    print(f'e2e {variant:6s}-ds : {t*1e3:6.3f} ms ({1/t:.1f} fps) '
-          f'compile {c:.0f}s', flush=True)
+    try:
+      tv, c = fb(make_e2e(variant), full4k)
+      print(f'e2e {variant:6s}-ds : {tv*1e3:6.3f} ms ({1/tv:.1f} fps) '
+            f'compile {c:.0f}s', flush=True)
+      if variant == 'slab':
+        t = tv
+    except Exception as e:
+      print(f'e2e {variant:6s}-ds FAILED: {type(e).__name__}: '
+            f'{str(e)[:160]}', flush=True)
 
   # standalone ds cost (feedback via kernel-less chain is collapsible, so
   # derive from e2e difference instead): e2e without ds (lowres given)
