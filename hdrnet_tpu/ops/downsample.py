@@ -133,8 +133,9 @@ def _col_onehot(w, s):
 # would DMA 256*8 rows ~= the whole frame, erasing the point of the
 # variant.  The kernel is kept for interpret-mode CI coverage and for
 # a future libtpu that supports sub-tile row DMA; production serving
-# uses the slab kernel (validated bit-exact vs the XLA table path and
-# vs the full serving pipeline in the same experiment).
+# uses the slab kernel (validated bit-exact vs the XLA table path —
+# f32 0.00e+00, u8 1.19e-07 — and vs the full serving pipeline,
+# results/exp_downsample_r4.txt).
 # ---------------------------------------------------------------------------
 
 _GATHER_VMEM = 12 * 2 ** 20
