@@ -41,6 +41,12 @@ def build_parser():
                  help='multiply the guide modules\' lr (1.0 = reference '
                       'behavior); <1 damps the curve-guide range '
                       'collapse documented in PARITY.md')
+  t.add_argument('--guide_reg', default=0.0, type=float,
+                 help='guide-range regularizer weight (0 = off): '
+                      'penalizes per-image guide std under '
+                      '--guide_reg_target with a smooth hinge; direct '
+                      'counter to the guide-collapse failure mode')
+  t.add_argument('--guide_reg_target', default=0.2, type=float)
   t.add_argument('--max_steps', default=None, type=int)
   t.add_argument('--log_interval', type=float, default=1,
                  help='seconds between log lines')
@@ -126,6 +132,8 @@ def config_from_args(args):
           lr_end=args.lr_end,
           lr_warmup_steps=args.lr_warmup_steps,
           guide_lr_scale=args.guide_lr_scale,
+          guide_reg=args.guide_reg,
+          guide_reg_target=args.guide_reg_target,
           log_interval=args.log_interval,
           summary_interval=args.summary_interval,
           checkpoint_interval=args.checkpoint_interval,

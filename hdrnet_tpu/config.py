@@ -104,6 +104,15 @@ class TrainConfig:
   # ~1.5 dB of grid depth resolution — PARITY.md "Quality parity").
   # 1.0 = reference behavior (single global lr).
   guide_lr_scale: float = 1.0
+  # Guide-range regularizer weight (0 = off, reference behavior). When
+  # on, adds guide_reg * mean(relu(guide_reg_target - std(guide))^2)
+  # to the loss, where std is the per-image pixel std of each sown
+  # guide map. Direct counter to the diagnosed collapse failure mode
+  # (results/QUALITY.md "guide collapse"): a guide whose std falls
+  # under the target pays a smooth hinge penalty, so shrinking the
+  # guide's dynamic range stops being the early local optimum.
+  guide_reg: float = 0.0
+  guide_reg_target: float = 0.2
   log_interval: int = 1          # seconds
   summary_interval: int = 120    # seconds
   checkpoint_interval: int = 600  # seconds

@@ -203,7 +203,8 @@ def train(config: Config, checkpoint_dir, data_dir, eval_data_dir=None,
         'image_input': np.zeros(full_shape, np.float32),
         'image_output': np.zeros(full_shape, np.float32),
     })
-    base_step = make_train_step(model, tx)
+    base_step = make_train_step(model, tx, guide_reg=tc.guide_reg,
+                                guide_reg_target=tc.guide_reg_target)
 
     def dd_step(state, ins, outs, params):
       gathered = augment_batch(augment, ins, outs, params)
@@ -231,7 +232,8 @@ def train(config: Config, checkpoint_dir, data_dir, eval_data_dir=None,
     batches = device_prefetch(_chain_first(peek, raw_batches), batch_shard)
     low_shape = peek['lowres_input'].shape
     full_shape = peek['image_input'].shape
-    train_step = jax.jit(make_train_step(model, tx),
+    train_step = jax.jit(make_train_step(model, tx, guide_reg=tc.guide_reg,
+                                         guide_reg_target=tc.guide_reg_target),
                          in_shardings=(rep, batch_shard),
                          out_shardings=(rep, rep),
                          donate_argnums=(0,))

@@ -74,28 +74,47 @@ def normalize_batch(batch):
   return jax.tree_util.tree_map(norm, batch)
 
 
-def make_train_step(model, tx, ema_decay=0.99):
+def make_train_step(model, tx, ema_decay=0.99, guide_reg=0.0,
+                    guide_reg_target=0.2):
   """Returns step(state, batch) -> (state, metrics_dict).
 
   batch keys: lowres_input, lowres_output (unused by the loss — parity
   note: the reference also trains only on the full-res target,
   bin/train.py:95), image_input, image_output. Integer-dtype batches
   are normalized on device (see normalize_batch).
+
+  guide_reg > 0 adds a guide-range regularizer: a smooth hinge on the
+  per-image pixel std of every sown 'guide_map' intermediate (one for
+  the plain models, one per pyramid level for GaussianPyrNN), pushing
+  back on the diagnosed collapse-to-one-luma-bin local optimum
+  (results/QUALITY.md). Off by default = reference loss exactly.
   """
 
   def loss_fn(params, batch_stats, batch):
     variables = {'params': params}
+    mutable = []
     if batch_stats:
       variables['batch_stats'] = batch_stats
+      mutable.append('batch_stats')
+    if guide_reg > 0.0:
+      mutable.append('intermediates')
+    if mutable:
       out, updates = model.apply(variables, batch['lowres_input'],
                                  batch['image_input'], train=True,
-                                 mutable=['batch_stats'])
-      new_stats = updates['batch_stats']
+                                 mutable=mutable)
+      new_stats = updates.get('batch_stats', batch_stats)
     else:
       out = model.apply(variables, batch['lowres_input'],
                         batch['image_input'], train=True)
       new_stats = batch_stats
     loss = metrics.l2_loss(batch['image_output'], out)
+    if guide_reg > 0.0:
+      gmaps = updates['intermediates']['guide_map']
+      hinge = [
+          jnp.mean(jax.nn.relu(
+              guide_reg_target - g.std(axis=tuple(range(1, g.ndim)))) ** 2)
+          for g in gmaps]
+      loss = loss + guide_reg * sum(hinge) / len(hinge)
     p = metrics.psnr(batch['image_output'], out)
     return loss, (p, new_stats)
 

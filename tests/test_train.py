@@ -316,3 +316,54 @@ def test_guide_lr_scale(dataset, tmp_path):
 
   from hdrnet_tpu.bin.evaluate import main as eval_main
   eval_main([str(tmp_path / 'ckpt_gls'), str(dataset), '--limit', '1'])
+
+
+def test_guide_reg(dataset, tmp_path):
+  """guide_reg > 0 adds the range hinge to the loss: with a huge target
+  std (unattainable) the regularized loss must exceed the plain loss on
+  the SAME params/batch; with target 0 the hinge is inactive and the
+  losses agree exactly. Also exercises the pyramid model's multi-level
+  guide_map sow path."""
+  import jax
+  import jax.numpy as jnp
+  from hdrnet_tpu.config import ModelConfig
+  from hdrnet_tpu.models import make_model
+  from hdrnet_tpu.training.step import make_train_step, create_state
+  from hdrnet_tpu.training.loop import make_tx
+  from hdrnet_tpu.config import TrainConfig
+
+  rng = np.random.RandomState(0)
+  batch = {
+      'lowres_input': jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32),
+      'lowres_output': jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32),
+      'image_input': jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32),
+      'image_output': jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32),
+  }
+  for model_name in ('HDRNetCurves', 'HDRNetGaussianPyrNN'):
+    cfg = ModelConfig(model_name=model_name, net_input_size=32,
+                      spatial_bin=8, luma_bins=4,
+                      output_resolution=[64, 64])
+    model = make_model(cfg)
+    tx = make_tx(TrainConfig(learning_rate=1e-3))
+    state = create_state(model, tx, jax.random.PRNGKey(0),
+                         batch['lowres_input'], batch['image_input'])
+    plain = make_train_step(model, tx)
+    reg_hot = make_train_step(model, tx, guide_reg=1.0,
+                              guide_reg_target=10.0)
+    reg_cold = make_train_step(model, tx, guide_reg=1.0,
+                               guide_reg_target=0.0)
+    _, m0 = jax.jit(plain)(state, batch)
+    _, mhot = jax.jit(reg_hot)(state, batch)
+    _, mcold = jax.jit(reg_cold)(state, batch)
+    assert float(mhot['loss']) > float(m0['loss']) + 1.0, model_name
+    np.testing.assert_allclose(float(mcold['loss']), float(m0['loss']),
+                               rtol=1e-6)
+
+
+def test_guide_reg_cli_plumbing():
+  from hdrnet_tpu.bin.train import build_parser, config_from_args
+  args = build_parser().parse_args(['ckpt', 'data', '--guide_reg', '0.01',
+                                    '--guide_reg_target', '0.15'])
+  cfg = config_from_args(args)
+  assert cfg.train.guide_reg == 0.01
+  assert cfg.train.guide_reg_target == 0.15
