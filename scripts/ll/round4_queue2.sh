@@ -82,6 +82,7 @@ if [ ! -f output/ll_gpyrnn_g05/eval_test.json ] \
   timeout -s INT $(( $(left) - 4800 > 7200 ? 7200 : $(left) - 4800 )) \
     python -m hdrnet_tpu.bin.train output/ll_gpyrnn_g05 data_ll/train \
     $COMMON1024B4 --model_name HDRNetGaussianPyrNN --guide_lr_scale 0.5 \
+    --guide_reg 0.03 --guide_reg_target 0.15 \
     --max_steps 60000 || true
   timeout 1200 python -m hdrnet_tpu.bin.evaluate output/ll_gpyrnn_g05 \
     data_ll/test --json output/ll_gpyrnn_g05/eval_test.json || true
