@@ -35,7 +35,7 @@ COMMON1024B1="--eval_data_dir data_ll/test --batch_size 1 \
 
 # ---- 1. bench check (also warms output/jax_cache_bench for the driver)
 if [ ! -f results/bench_round4_check.json ] && [ "$(left)" -gt 2000 ]; then
-  timeout 2400 python bench.py > results/bench_round4_check.json \
+  timeout 3000 python bench.py > results/bench_round4_check.json \
     2> results/bench_round4_check_stages.txt || true
   tail -5 results/bench_round4_check_stages.txt
 fi
