@@ -46,6 +46,7 @@ def _cfg(**kw):
   return DataConfig(**base)
 
 
+@pytest.mark.quick
 def test_image_files_pipeline(tmp_path):
   _write_dataset(tmp_path)
   pipe = ImageFilesDataPipeline(str(tmp_path), _cfg())
@@ -140,6 +141,7 @@ def test_style_transfer_pipeline(tmp_path):
   assert batch['image_output'].shape == (2, 32, 32, 3)
 
 
+@pytest.mark.quick
 def test_unsharp_mask_pipeline(tmp_path):
   _write_dataset(tmp_path)
   cfg = _cfg(blur_sigma=2.0, sharpen=1.5)
@@ -246,6 +248,7 @@ def test_ll_dataset_generator(tmp_path):
   assert 0 < d < 0.2
 
 
+@pytest.mark.quick
 def test_registry():
   with pytest.raises(ValueError):
     make_pipeline('/nonexistent', DataConfig(pipeline='Nope'))

@@ -62,6 +62,7 @@ def test_batched_gather():
   np.testing.assert_array_equal(np.asarray(got), ref)
 
 
+@pytest.mark.quick
 def test_serving_plans_exist():
   for h, w in [(2160, 3840), (1080, 1920), (2048, 2048), (1024, 1024)]:
     assert pallas_feasible(h, w, 256), (h, w)

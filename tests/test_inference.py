@@ -149,6 +149,7 @@ def test_bucketed_serving_pyramid():
   assert len(enh._jitted) == n_entries, list(enh._jitted)
 
 
+@pytest.mark.quick
 def test_bucket_ladder():
   from hdrnet_tpu.inference import bucket_extent
   assert bucket_extent(450) == (512, 401)

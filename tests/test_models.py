@@ -56,6 +56,7 @@ def test_forward_shapes_and_grads(name):
   assert total > 0
 
 
+@pytest.mark.quick
 def test_grid_shape_and_packing():
   cfg = small_cfg('HDRNetCurves')
   model = make_model(cfg)
@@ -72,6 +73,7 @@ def test_grid_shape_and_packing():
   assert float(guide.min()) >= 0 and float(guide.max()) <= 1
 
 
+@pytest.mark.quick
 def test_curve_guide_inits_near_luma():
   """At init the curves guide is ~the channel mean (identity ccm,
   identity ramp curve, 1/nchans mixing) — cf. models.py:152-185."""
@@ -116,6 +118,7 @@ def test_gaussian_pyr_output_is_sum_of_levels():
   assert [m.shape[1] for m in ms] == [64, 32, 16]
 
 
+@pytest.mark.quick
 def test_metrics():
   rng = np.random.RandomState(5)
   t = jnp.asarray(rng.rand(2, 8, 8, 3), jnp.float32)

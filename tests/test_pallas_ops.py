@@ -36,6 +36,7 @@ CASES = [
 
 
 @pytest.mark.parametrize('case', CASES)
+@pytest.mark.quick
 def test_forward_matches_oracle(case):
   grid, guide, image = _args(0, *case)
   want = bilateral_slice_apply(grid, guide, image, backend='reference')
@@ -119,6 +120,7 @@ def test_grid_bwd_kernel_matches_oracle():
                              atol=2e-4 * max(scale, 1.0))
 
 
+@pytest.mark.quick
 def test_infeasible_falls_back(caplog):
   """Image smaller than ~1 px/cell: wrapper uses the oracle and logs
   the downgrade (a serving deployment must leave a breadcrumb)."""
@@ -147,6 +149,7 @@ def test_z_strategy_per_call():
   np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=ATOL)
 
 
+@pytest.mark.quick
 def test_tile_planner_windows():
   for h, w, gh, gw in [(1080, 1920, 16, 16), (2160, 3840, 16, 16),
                        (512, 512, 16, 16), (2048, 2048, 32, 32),

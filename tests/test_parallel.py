@@ -12,6 +12,7 @@ from hdrnet_tpu.models import make_model
 from hdrnet_tpu.parallel import mesh as pm
 
 
+@pytest.mark.quick
 def test_mesh_shapes(cpu_devices):
   mesh = pm.make_mesh((4, 2))
   assert dict(mesh.shape) == {'data': 4, 'spatial': 2}

@@ -76,6 +76,7 @@ def np_slice_apply(grid, guide, image, has_offset=True):
 
 
 @pytest.mark.parametrize('h,w,gh,gw,gd', [(24, 16, 4, 3, 8), (10, 11, 3, 5, 4)])
+@pytest.mark.quick
 def test_apply_forward_matches_loop_spec(h, w, gh, gw, gd):
   rng = np.random.RandomState(1234)
   no, ni = 3, 3
@@ -99,6 +100,7 @@ def test_apply_no_offset():
   np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
 
+@pytest.mark.quick
 def test_slice_exact_at_bin_centers():
   """Guide at bin centers + image aligned with grid cells returns exact
   grid values (cf. test/ops_test.py:61-86, tol 5e-4)."""
@@ -120,6 +122,7 @@ def test_slice_exact_at_bin_centers():
       np.testing.assert_allclose(sliced[y, x], grid[a, b, k], atol=5e-4)
 
 
+@pytest.mark.quick
 def test_batched_api_shapes():
   rng = np.random.RandomState(3)
   b, gh, gw, gd, no, ni = 2, 3, 4, 8, 3, 3

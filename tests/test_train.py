@@ -62,6 +62,7 @@ def test_train_converges_and_resumes(dataset, tmp_path):
   assert os.path.exists(os.path.join(ckpt, 'summaries.jsonl'))
 
 
+@pytest.mark.quick
 def test_cli_arg_plumbing():
   from hdrnet_tpu.bin.train import build_parser, config_from_args
   args = build_parser().parse_args(
@@ -259,6 +260,7 @@ def test_train_cosine_schedule(dataset, tmp_path):
   assert float(sched(14)) < float(sched(4))
 
 
+@pytest.mark.quick
 def test_cli_lr_schedule_plumbing():
   from hdrnet_tpu.bin.train import build_parser, config_from_args
   args = build_parser().parse_args(
@@ -360,6 +362,7 @@ def test_guide_reg(dataset, tmp_path):
                                rtol=1e-6)
 
 
+@pytest.mark.quick
 def test_guide_reg_cli_plumbing():
   from hdrnet_tpu.bin.train import build_parser, config_from_args
   args = build_parser().parse_args(['ckpt', 'data', '--guide_reg', '0.01',

@@ -11,6 +11,7 @@ from hdrnet_tpu.models import make_model
 from hdrnet_tpu.utils import image, metadata, upgrade
 
 
+@pytest.mark.quick
 def test_color_roundtrips():
   rng = np.random.RandomState(0)
   im = rng.rand(8, 9, 3).astype(np.float32)
@@ -22,6 +23,7 @@ def test_color_roundtrips():
   assert image.gray_to_rgb(im[:, :, 0]).shape == (8, 9, 3)
 
 
+@pytest.mark.quick
 def test_type_conversions():
   u8 = np.array([[0, 255]], np.uint8)
   np.testing.assert_allclose(image.uint8_to_float(u8), [[0.0, 1.0]])
@@ -35,6 +37,7 @@ def test_type_conversions():
   assert image.normalize(np.array([2.0, 4.0])).tolist() == [0.0, 1.0]
 
 
+@pytest.mark.quick
 def test_metadata_roundtrip(tmp_path):
   metadata.write_dataset_meta(str(tmp_path), 42, {'a.png': 123})
   meta, ts = metadata.get_dataset_meta(str(tmp_path))
