@@ -182,6 +182,8 @@ class _Cfg:
   clip_output: bool = False
   # Depth-contraction strategy ('unroll' | 'loop'); see default_z_strategy.
   z_strategy: str = 'unroll'
+  # Curves-guide evaluation ('relu' | 'maxfma'); see _CURVES_IMPLS.
+  curves_impl: str = 'relu'
   # Row-strip inner loop (0 = off): the kernel fori_loops over
   # `strip`-row horizontal strips of the tile, with the x-contraction
   # rows hoisted to tile level. Working set per strip is a handful of
@@ -460,6 +462,30 @@ def _make_wy_wx(cfg, a0, b0, off_ref, ty, tx):
   return wy, wx
 
 
+# Curves-guide evaluation variant. 'relu' is the literal reference form
+# (models.py:163-175): per knot, slope*max(g - shift, 0) — a sub, a max
+# and a mul-add of full (TH, TW) planes, 4 VPU plane-ops per knot.
+# 'maxfma' rewrites each knot via slope*max(g-s,0) == slope*max(g,s) -
+# slope*s: the mix weight is folded into the slopes and every constant
+# slope*s*mix term into a single scalar bias at TILE level (n*n_pts
+# scalar FMAs per ~32k-pixel tile — free), so the per-pixel cost drops
+# to max + mul-add: 2-3 plane-ops per knot, ~40% off the guide's share
+# of the serving kernel's VPU work. Numerics: identical knot math up to
+# f32 reassociation (measured <=2e-6 vs the oracle guide; the serving
+# gate is 1e-4 and a u8 quantum is 4e-3). Select with
+# HDRNET_TPU_CURVES_IMPL=maxfma (default stays 'relu' until a measured
+# on-chip win flips it).
+_CURVES_IMPLS = ('relu', 'maxfma')
+
+
+def default_curves_impl():
+  s = os.environ.get('HDRNET_TPU_CURVES_IMPL', 'relu')
+  if s not in _CURVES_IMPLS:
+    raise ValueError(
+        f'HDRNET_TPU_CURVES_IMPL={s!r}: must be one of {_CURVES_IMPLS}')
+  return s
+
+
 def _curves_guide(cfg, img, ccm_ref, curves_ref, mix_ref):
   """In-kernel curves guide (models.py:144-190): learned color matrix ->
   per-channel 16-knot PWL curve -> channel mix -> clip [0, 1].
@@ -469,6 +495,22 @@ def _curves_guide(cfg, img, ccm_ref, curves_ref, mix_ref):
   mix_ref: (n_in+1, 1) mixing weights + bias.
   """
   n = cfg.n_in
+  if cfg.curves_impl == 'maxfma':
+    # acc = sum_{c,p} (mix_c*slope_cp)*max(g_c, s_cp)
+    #       + (mix_bias - sum_{c,p} mix_c*slope_cp*s_cp)
+    bias = mix_ref[n, 0]
+    acc = None
+    for c in range(n):
+      g = ccm_ref[n, c] * jnp.ones((cfg.th, cfg.tw), jnp.float32)
+      for j in range(n):
+        g = g + img[j] * ccm_ref[j, c]
+      for p in range(cfg.n_pts):
+        shift = curves_ref[c, p]
+        premix = curves_ref[n + c, p] * mix_ref[c, 0]
+        bias = bias - premix * shift
+        term = premix * jnp.maximum(g, shift)
+        acc = term if acc is None else acc + term
+    return jnp.clip(acc + bias, 0.0, 1.0)
   acc = None
   for c in range(n):
     g = ccm_ref[n, c] * jnp.ones((cfg.th, cfg.tw), jnp.float32)
@@ -1149,7 +1191,8 @@ def enhance_fused(grid5, image_cf, guide_params, guide_mode, n_out, n_in,
       cfg = dataclasses.replace(cfg, strip=0)
   if guide_mode == 'curves':
     n_pts = guide_params[1].shape[1]
-    cfg = dataclasses.replace(cfg, guide_mode='curves', n_pts=n_pts)
+    cfg = dataclasses.replace(cfg, guide_mode='curves', n_pts=n_pts,
+                              curves_impl=default_curves_impl())
   elif guide_mode == 'nn':
     gc = guide_params[0].shape[1]
     cfg = dataclasses.replace(cfg, guide_mode='nn', guide_complexity=gc)

@@ -5,6 +5,8 @@ the compiled TPU path). Mirrors the reference's cross-implementation
 golden tests (hdrnet_ops_jax_tf2_test.py:26-48) at <= 1e-5.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -243,6 +245,30 @@ def test_u8_io_matches_f32_path():
                          interpret=True)
   assert got.dtype == jnp.uint8
   np.testing.assert_array_equal(np.asarray(got), np.asarray(want_u8))
+
+
+def test_maxfma_curves_guide_matches_relu_form():
+  """The 'maxfma' curves-guide rewrite (slope*max(g-s,0) == slope*max(g,s)
+  - slope*s, with mix and the constant terms folded at tile level) is
+  algebraically identical to the reference form (models.py:163-175) —
+  only f32 reassociation differs, so the fused output must agree to a
+  few ULPs, far inside the 1e-4 serving gate."""
+  rng = np.random.RandomState(19)
+  grid5 = jnp.asarray(rng.randn(1, 16, 16, 8, 12) * 0.05, jnp.float32)
+  img = jnp.asarray(rng.rand(1, 3, 192, 256), jnp.float32)
+  ccm = jnp.asarray(rng.randn(4, 3) * 0.3, jnp.float32)
+  curves = jnp.asarray(rng.rand(6, 16), jnp.float32)
+  mix = jnp.asarray(rng.rand(4, 1), jnp.float32)
+  gp = (ccm, curves, mix)
+  want = pk.enhance_fused(grid5, img, gp, 'curves', 3, 3, True,
+                          clip_output=True, interpret=True)
+  os.environ['HDRNET_TPU_CURVES_IMPL'] = 'maxfma'
+  try:
+    got = pk.enhance_fused(grid5, img, gp, 'curves', 3, 3, True,
+                           clip_output=True, interpret=True)
+  finally:
+    del os.environ['HDRNET_TPU_CURVES_IMPL']
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
 def test_bf16_compute_within_serving_tolerance():
