@@ -46,7 +46,7 @@ def _plan(h, w, s):
   g = int(np.gcd(h, s))
   span, per = h // g, s // g
   slab = span * w * 4
-  onehot = w * s * 4
+  onehot = w * s * 2  # stored bf16 (exact for one-hot weights)
   if onehot > _VMEM_BUDGET // 2:
     return None
   # Batch q groups per program: enough to amortize grid overhead,
@@ -67,9 +67,15 @@ def pallas_feasible(h, w, s):
 def _make_kernel(per, q, offsets, white):
   u8 = white is not None
 
+  # px arrives bf16 from the host (one-hot weights are exact in bf16,
+  # so the dot operands — and results — are bit-identical to an
+  # in-kernel f32->bf16 cast). Converting in-kernel cost a full
+  # (W, s) VPU conversion pass per dot per PROGRAM (3 dots x 24
+  # programs at 4K f32 = ~70M element converts/frame) — measured as a
+  # large share of the kernel's time (results/exp_downsample_batch.txt).
   def dot(a_bf16, px_ref):
     return jax.lax.dot_general(
-        a_bf16, px_ref[...].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        a_bf16, px_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
   def kern(img_ref, px_ref, out_ref):
@@ -151,7 +157,7 @@ def _gather_plan(b, c, h, w, s):
   if k < 8:
     return None
   scratch = c * k * w * 4
-  onehot = w * s * 4
+  onehot = w * s * 2  # stored bf16
   if scratch + onehot + c * k * s * 4 > _GATHER_VMEM:
     return None
   return k
@@ -160,9 +166,10 @@ def _gather_plan(b, c, h, w, s):
 def _make_gather_kernel(c, k, white):
   u8 = white is not None
 
+  # px arrives bf16 (see the slab kernel note).
   def dot(a_bf16, px_ref):
     return jax.lax.dot_general(
-        a_bf16, px_ref[...].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        a_bf16, px_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
   def kern(iy_ref, img_ref, px_ref, out_ref, scr_ref, sem):
@@ -199,7 +206,7 @@ def _make_gather_kernel(c, k, white):
 def _gather_lowres(image_cf, s, k, white, interpret):
   b, c, h, w = image_cf.shape
   iy = jnp.asarray(_nearest_indices(h, s), jnp.int32)
-  px = jnp.asarray(_col_onehot(w, s))
+  px = jnp.asarray(_col_onehot(w, s), jnp.bfloat16)
   kern = _make_gather_kernel(c, k, white)
   grid_spec = pltpu.PrefetchScalarGridSpec(
       num_scalar_prefetch=1,
@@ -267,7 +274,7 @@ def nearest_lowres_cf(image_cf, s, interpret=False, variant=None):
   g, span, per, q = plan
   iy = _nearest_indices(h, s)
   offsets = tuple(int(v) for v in iy[:per])  # group-local row pattern
-  px = jnp.asarray(_col_onehot(w, s))
+  px = jnp.asarray(_col_onehot(w, s), jnp.bfloat16)
 
   slabs = image_cf.reshape(b, c * g, span, w)
   kern = _make_kernel(per, q, offsets, white)
