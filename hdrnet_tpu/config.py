@@ -75,8 +75,10 @@ class DataConfig:
   # the augmentation chain inside the jitted train step (data/device.py)
   # — per-step host->device traffic drops to a few int32 draws. Needs
   # uniform image shapes and a dataset that fits HBM; implies
-  # normalize-on-device. ImageFilesDataPipeline only; other pipelines
-  # and non-uniform datasets fall back to the host pipeline.
+  # normalize-on-device. ImageFilesDataPipeline and
+  # UnsharpMaskDataPipeline (targets synthesized on device at upload,
+  # data/device.py load_usm_dataset); other pipelines and non-uniform
+  # datasets fall back to the host pipeline.
   device_data: bool = False
   # UnsharpMask synthetic pipeline knobs (scripts/usm/*.sh).
   blur_sigma: float = 4.0

@@ -124,15 +124,24 @@ def _try_device_dataset(pipeline, data_cfg, sharding=None):
   uncommitted single-device arrays would otherwise be re-resharded from
   device 0 on every jitted step — for the whole resident dataset."""
   from hdrnet_tpu.data.device import (DeviceDataset, load_pairs,
+                                      load_usm_dataset,
                                       make_device_augment)
-  from hdrnet_tpu.data.pipeline import ImageFilesDataPipeline
-  if type(pipeline) is not ImageFilesDataPipeline:
-    log.warning('device_data: %s is not ImageFilesDataPipeline; using '
-                'the host pipeline', type(pipeline).__name__)
-    return None, None
+  from hdrnet_tpu.data.pipeline import (ImageFilesDataPipeline,
+                                        UnsharpMaskDataPipeline)
   try:
-    dds = DeviceDataset(load_pairs(pipeline), data_cfg,
-                        sharding=sharding)
+    if type(pipeline) is ImageFilesDataPipeline:
+      dds = DeviceDataset(load_pairs(pipeline), data_cfg,
+                          sharding=sharding)
+    elif type(pipeline) is UnsharpMaskDataPipeline:
+      # Synthetic-target pipeline: raw inputs resident, uint8 targets
+      # synthesized on device once at upload (data/device.py
+      # load_usm_dataset) — the host path re-blurs every sample every
+      # epoch, ~1 s/image on a 1-core box.
+      dds = load_usm_dataset(pipeline, data_cfg, sharding=sharding)
+    else:
+      log.warning('device_data: %s has no device-resident loader; using '
+                  'the host pipeline', type(pipeline).__name__)
+      return None, None
     augment = make_device_augment(data_cfg.output_resolution,
                                   data_cfg.net_input_size,
                                   data_cfg.rotate)

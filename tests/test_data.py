@@ -152,6 +152,37 @@ def test_unsharp_mask_pipeline(tmp_path):
   assert 0 < d < 0.5
 
 
+@pytest.mark.quick
+def test_usm_device_synthesis_matches_host(tmp_path):
+  """The device-resident usm loader (data/device.py load_usm_dataset)
+  must reproduce the host pipeline's file-materialized targets
+  (UnsharpMaskDataPipeline._load + imwrite quantization,
+  scripts/make_usm_dataset.py): same native-blur taps and symmetric
+  boundary, same clip, same round-half-up uint8 storage. f32 summation
+  order differs, so allow one uint8 quantum on ties."""
+  from hdrnet_tpu.data import images
+  from hdrnet_tpu.data.device import load_usm_dataset, make_usm_synth
+  _write_dataset(tmp_path, n=2, size=(40, 56))
+  cfg = _cfg(blur_sigma=2.0, sharpen=1.5, output_resolution=[32, 32])
+  pipe = UnsharpMaskDataPipeline(str(tmp_path), cfg)
+
+  # Host/file reference: _load's float target quantized as imwrite does.
+  path = os.path.join(str(tmp_path), 'input', 'im0.png')
+  inp, target_f = pipe._load(path, np.random.RandomState(0))
+  want = (np.clip(target_f, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+
+  synth = make_usm_synth(cfg.blur_sigma, cfg.sharpen)
+  got = np.asarray(synth(jnp.asarray(images.imread(path))))
+  assert got.dtype == np.uint8
+  assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+  # Full loader: resident arrays with the right shapes/dtypes.
+  dds = load_usm_dataset(pipe, cfg)
+  assert dds.nsamples == 2
+  assert dds.inputs.shape == (2, 40, 56, 3)
+  assert dds.outputs.dtype == jnp.uint8
+
+
 def test_prefetching_batches(tmp_path):
   _write_dataset(tmp_path)
   pipe = ImageFilesDataPipeline(str(tmp_path), _cfg(data_threads=2))
