@@ -76,14 +76,15 @@ if out:
   print(json.dumps(out, indent=2))
 EOF
 
-# --- 2. per-model runtimes (on-device)
-if [ ! -f results/model_runtimes_2048.json ]; then
+# --- 2. per-model runtimes (on-device; skipped unless RUN_RUNTIMES=1 —
+# the end-of-round tail cannot afford a 20-min device leg here)
+if [ "${RUN_RUNTIMES:-0}" = 1 ] && [ ! -f results/model_runtimes_2048.json ]; then
   python scripts/bench_models.py --res 2048 2048 --iters 50 \
     --models HDRNetCurves HDRNetCurves:luma_bins=16:spatial_bin=32 \
              HDRNetGaussianPyrNN UNet:9:32 DilatedConvolutions:3:64 \
     --out results/model_runtimes_2048.json || true
 fi
-if [ ! -f results/model_runtimes_1024.json ]; then
+if [ "${RUN_RUNTIMES:-0}" = 1 ] && [ ! -f results/model_runtimes_1024.json ]; then
   python scripts/bench_models.py --res 1024 1024 --iters 50 \
     --models HDRNetCurves HDRNetGaussianPyrNN UNet:9:32 \
              DilatedConvolutions:3:64 \
