@@ -22,16 +22,23 @@ COMMON1024B4="--eval_data_dir data_ll/test --batch_size 4 \
   --learning_rate 1e-4 --lr_schedule cosine --lr_end 1e-6 \
   --lr_warmup_steps 500"
 
-# ---- 1. usm retrain (device-resident synthesis; ~9 steps/s expected)
+# ---- 1. usm retrain (device-resident synthesis; ~9 steps/s expected).
+# Operator strength sigma=8/sharpen=3: identity is then ~29 dB on the
+# held-out set (sigma=4/sharpen=1 left identity at 45.7 dB — too close
+# to a no-op to evidence anything, results/usm_identity.txt history).
 if [ ! -f output/usm_l8s16/eval_test.json ]; then
   timeout -s INT 1500 python -m hdrnet_tpu.bin.train output/usm_l8s16 \
     data_ll/train \
     $COMMON1024B4 --data_pipeline UnsharpMaskDataPipeline \
-    --blur_sigma 4.0 --sharpen 1.0 --guide_lr_scale 0.5 \
+    --blur_sigma 8.0 --sharpen 3.0 --guide_lr_scale 0.5 \
     --max_steps 11000 > output/usm_train.log 2>&1 || true
   tail -3 output/usm_train.log
   timeout 600 python -m hdrnet_tpu.bin.evaluate output/usm_l8s16 \
     data_usm/test --json output/usm_l8s16/eval_test.json || true
+fi
+if [ ! -f results/usm_oracle_test.json ]; then
+  timeout 900 python -m hdrnet_tpu.bin.fit_grid data_usm/test --limit 8 \
+    --json results/usm_oracle_test.json || true
 fi
 
 # ---- 2. final bench: cache re-warm for the driver + round-4 record
