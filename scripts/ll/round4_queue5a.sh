@@ -13,6 +13,15 @@
 set -x
 cd "$(dirname "$0")/../.."
 
+# Clean re-measure of the batch probe: the first capture
+# (results/exp_batch_r4_contended.txt) shared the chip with a stale
+# queue from the previous session.
+if [ ! -s results/exp_batch_r4.txt ]; then
+  timeout 1000 python scripts/exp_batch.py > results/exp_batch_r4.txt \
+    2>&1 || true
+  tail -10 results/exp_batch_r4.txt
+fi
+
 if [ ! -s results/exp_downsample_batch.txt ]; then
   timeout 1300 python scripts/exp_downsample_batch.py \
     > results/exp_downsample_batch.txt 2>&1 || true

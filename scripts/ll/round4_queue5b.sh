@@ -65,6 +65,21 @@ if [ ! -f output/ll_gpyrnn_g05/eval_test.json ] \
     data_ll/test --json results/pyramid_diagnosis_retrained.json || true
 fi
 
+# ---- 3b. (optional tail) l8/s16 guide-range-reg probe @1024
+# (VERDICT item 4 lever test; plain curves trains ~26 st/s at b4@1024)
+if [ ! -f output/ll1024_l8s16_reg/eval_test.json ] \
+    && [ "$(left)" -gt 2300 ]; then
+  timeout -s INT 1400 python -m hdrnet_tpu.bin.train \
+    output/ll1024_l8s16_reg data_ll/train \
+    $COMMON1024B4 --guide_lr_scale 0.5 \
+    --guide_reg 0.03 --guide_reg_target 0.15 \
+    --max_steps 30000 > output/l8s16reg_train.log 2>&1 || true
+  timeout 500 python -m hdrnet_tpu.bin.evaluate output/ll1024_l8s16_reg \
+    data_ll/test --json output/ll1024_l8s16_reg/eval_test.json || true
+  timeout 400 python scripts/guide_stats.py output/ll1024_l8s16_reg \
+    data_ll/test --json results/guide_stats_l8s16_reg.json || true
+fi
+
 # ---- 4. consolidate
 bash scripts/consolidate_round4.sh > output/consolidate4.log 2>&1 || true
 tail -30 output/consolidate4.log
