@@ -7,7 +7,7 @@ set -x
 cd "$(dirname "$0")/.."
 
 for run in ll_gpyrnn_g05 ll1024_unet_d9_w32 ll1024_dilated_d3_w64 \
-           usm_l8s16; do
+           usm_l8s16_v2; do
   if [ -d "output/$run" ]; then
     mkdir -p "results/$run"
     for f in eval_test.json oracle_test.json config.json summaries.jsonl; do
@@ -57,7 +57,7 @@ EOF
 python - <<'EOF'
 import json, os, re
 out = {}
-f = 'results/usm_l8s16/eval_test.json'
+f = 'results/usm_l8s16_v2/eval_test.json'
 if os.path.exists(f):
   rec = json.load(open(f))
   out['usm HDRNetCurves l8/s16 @1024'] = {
