@@ -68,7 +68,7 @@ def main(argv=None):
     label, p, ms = spec.split(':')
     rows.append((label, float(p), float(ms)))
 
-  print(f'{"model":40s} {"PSNR (dB)":>10s} {"4K ms/frame":>12s}')
+  print(f'{"model":40s} {"PSNR (dB)":>10s} {"ms/frame":>12s}')
   for label, p, ms in rows:
     print(f'{label:40s} {p if p is not None else float("nan"):10.2f} '
           f'{ms if ms is not None else float("nan"):12.3f}')
@@ -92,7 +92,7 @@ def main(argv=None):
   for label, p in REFERENCE_RESULTS.items():
     ax.axhline(p, ls=':', lw=0.6, c='lightgray')
     ax.text(ax.get_xlim()[0], p, label, fontsize=6, va='bottom')
-  ax.set_xlabel('runtime per 4K frame (ms, log)')
+  ax.set_xlabel('runtime per frame (ms, log)')
   ax.set_ylabel('PSNR (dB)')
   ax.legend(fontsize=7)
   fig.tight_layout()
