@@ -110,6 +110,16 @@ class DeviceDataset:
       outs = np.stack([b for _, b in pairs])
       self.inputs = put(ins)
       self.outputs = put(outs)
+    if self.inputs.dtype != self.outputs.dtype:
+      # The augment concatenate would silently promote the narrower
+      # side (e.g. uint8 targets -> uint16) and normalize_batch would
+      # then divide it by the wrong white level. Refuse; callers use
+      # the host pipeline (which normalizes each file independently)
+      # for mixed-depth datasets.
+      raise ValueError(
+          f'device dataset needs matching input/output dtypes, got '
+          f'{self.inputs.dtype} vs {self.outputs.dtype}; use the host '
+          f'pipeline (--nodevice_data) for mixed-depth datasets')
     self.nsamples = int(self.inputs.shape[0])
     self.cfg = cfg
     h, w = self.inputs.shape[1:3]
@@ -179,16 +189,18 @@ def _gauss_taps(sigma):
 
 
 def make_usm_synth(blur_sigma, sharpen):
-  """Jittable (H, W, C) raw-dtype image -> uint8 unsharp-mask target.
+  """Jittable (H, W, C) raw-dtype image -> same-dtype unsharp target.
 
   The TPU-side twin of UnsharpMaskDataPipeline._load + imwrite
   (scripts/make_usm_dataset.py): normalize by the dtype white level,
   separable gaussian blur with the native kernel's taps and symmetric
   boundary (hdrnet_io.cc reflect: -1 -> 0), target = clip(x + sharpen *
-  (x - blur), 0, 1), requantized round-half-up to uint8 — exactly the
-  storage the file-materialized path trains from. f32 summation order
-  differs from the C++ loops, so an occasional 1-quantum tie flip vs
-  the file path is possible (gated in tests)."""
+  (x - blur), 0, 1), requantized round-half-up at the INPUT's white
+  level and dtype. Emitting the input dtype (not a fixed uint8) keeps
+  the augment concatenate promotion-free, so normalize_batch divides
+  input and target by the same white level for 16-bit datasets too.
+  f32 summation order differs from the C++ loops, so an occasional
+  1-quantum tie flip vs the file path is possible (gated in tests)."""
   radius, kern = _gauss_taps(blur_sigma)
   taps = jnp.asarray(kern)
 
@@ -205,7 +217,9 @@ def make_usm_synth(blur_sigma, sharpen):
     blur = sum(taps[i] * jax.lax.dynamic_slice_in_dim(pad, i, h, axis=0)
                for i in range(2 * radius + 1))
     target = jnp.clip(x + sharpen * (x - blur), 0.0, 1.0)
-    return (target * 255.0 + 0.5).astype(jnp.uint8)
+    if white == 1.0:
+      return target.astype(raw.dtype)
+    return (target * white + 0.5).astype(raw.dtype)
 
   return synth
 

@@ -384,10 +384,18 @@ class UnsharpMaskDataPipeline(DataPipeline):
 
   def _load(self, spec, rng):
     del rng
-    inp = images.imread_float(spec)
+    raw = images.imread(spec)
+    white = 65535.0 if raw.dtype == np.uint16 else 255.0
+    inp = native.to_float(raw, white)
     blurred = native.gaussian_blur(inp, self.cfg.blur_sigma)
     target = np.clip(inp + self.cfg.sharpen * (inp - blurred), 0.0, 1.0)
-    return inp, target
+    # Round-half-up at the source white level: the device-resident
+    # path (device.make_usm_synth) and the materialized-file path
+    # (scripts/make_usm_dataset.py) both store quantized targets, so
+    # quantize here too — all three USM paths train on identical data
+    # and a silent host fallback no longer changes the targets.
+    target = np.floor(target * white + 0.5) / white
+    return inp, target.astype(np.float32)
 
 
 PIPELINES = {

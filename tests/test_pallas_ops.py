@@ -247,12 +247,14 @@ def test_u8_io_matches_f32_path():
   np.testing.assert_array_equal(np.asarray(got), np.asarray(want_u8))
 
 
-def test_maxfma_curves_guide_matches_relu_form():
+def test_maxfma_curves_guide_matches_relu_form(monkeypatch):
   """The 'maxfma' curves-guide rewrite (slope*max(g-s,0) == slope*max(g,s)
   - slope*s, with mix and the constant terms folded at tile level) is
   algebraically identical to the reference form (models.py:163-175) —
   only f32 reassociation differs, so the fused output must agree to a
-  few ULPs, far inside the 1e-4 serving gate."""
+  few ULPs, far inside the 1e-4 serving gate. Both sides pin the env
+  explicitly so an ambient HDRNET_TPU_CURVES_IMPL can't make the
+  comparison vacuous (and monkeypatch restores the user's setting)."""
   rng = np.random.RandomState(19)
   grid5 = jnp.asarray(rng.randn(1, 16, 16, 8, 12) * 0.05, jnp.float32)
   img = jnp.asarray(rng.rand(1, 3, 192, 256), jnp.float32)
@@ -260,14 +262,12 @@ def test_maxfma_curves_guide_matches_relu_form():
   curves = jnp.asarray(rng.rand(6, 16), jnp.float32)
   mix = jnp.asarray(rng.rand(4, 1), jnp.float32)
   gp = (ccm, curves, mix)
+  monkeypatch.setenv('HDRNET_TPU_CURVES_IMPL', 'relu')
   want = pk.enhance_fused(grid5, img, gp, 'curves', 3, 3, True,
                           clip_output=True, interpret=True)
-  os.environ['HDRNET_TPU_CURVES_IMPL'] = 'maxfma'
-  try:
-    got = pk.enhance_fused(grid5, img, gp, 'curves', 3, 3, True,
-                           clip_output=True, interpret=True)
-  finally:
-    del os.environ['HDRNET_TPU_CURVES_IMPL']
+  monkeypatch.setenv('HDRNET_TPU_CURVES_IMPL', 'maxfma')
+  got = pk.enhance_fused(grid5, img, gp, 'curves', 3, 3, True,
+                         clip_output=True, interpret=True)
   np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
