@@ -41,11 +41,17 @@ from hdrnet_tpu.ops.resize import _nearest_indices
 _VMEM_BUDGET = 8 * 2 ** 20
 
 
-def _plan(h, w, s):
-  """(g, span, per, q) or None. q = row groups per program."""
+def _plan(h, w, s, b=1, itemsize=4):
+  """(g, span, per, q) or None. q = row groups per program.
+
+  The batch dim is folded into every program's block (the one-hot
+  contraction's M dimension becomes b*q*per — at b=4 serving shapes
+  that fills the MXU's 128 rows instead of running 32-row dots and
+  re-iterating the grid per frame, the round-4 batch-regression fix),
+  so the plan budgets b slabs per program."""
   g = int(np.gcd(h, s))
   span, per = h // g, s // g
-  slab = span * w * 4
+  slab = b * span * w * itemsize
   onehot = w * s * 2  # stored bf16 (exact for one-hot weights)
   if onehot > _VMEM_BUDGET // 2:
     return None
@@ -55,16 +61,18 @@ def _plan(h, w, s):
   q = int(min(budget, 3 * g))
   while (3 * g) % q:
     q -= 1
-  if span * w * q * 4 + onehot > 2 * _VMEM_BUDGET:
+  # Hard VMEM cap (double-buffered by the pipeline): large-batch f32
+  # frames fall back to the XLA path rather than overcommitting VMEM.
+  if slab * q + onehot > 6 * _VMEM_BUDGET:
     return None
   return g, span, per, q
 
 
-def pallas_feasible(h, w, s):
-  return _plan(h, w, s) is not None
+def pallas_feasible(h, w, s, b=1, itemsize=4):
+  return _plan(h, w, s, b, itemsize) is not None
 
 
-def _make_kernel(per, q, offsets, white):
+def _make_kernel(b, per, q, offsets, white):
   u8 = white is not None
 
   # px arrives bf16 from the host (one-hot weights are exact in bf16,
@@ -80,10 +88,11 @@ def _make_kernel(per, q, offsets, white):
 
   def kern(img_ref, px_ref, out_ref):
     rows = []
-    for qq in range(q):
-      for j in offsets:
-        rows.append(img_ref[0, qq, int(j), :])
-    sel = jnp.stack(rows, axis=0)  # (q*per, W)
+    for bb in range(b):
+      for qq in range(q):
+        for j in offsets:
+          rows.append(img_ref[bb, qq, int(j), :])
+    sel = jnp.stack(rows, axis=0)  # (b*q*per, W)
     if u8:
       # uint8 values are integers <= 255 — exactly representable in
       # bf16, so a single DEFAULT-precision MXU pass is exact; the
@@ -107,8 +116,10 @@ def _make_kernel(per, q, offsets, white):
       res = dot(hi, px_ref) + dot(mid, px_ref) + dot(lo, px_ref)
     if u8:
       res = res / white
-    for qq in range(q):
-      out_ref[0, qq] = res[qq * per:(qq + 1) * per, :]
+    for bb in range(b):
+      for qq in range(q):
+        base = (bb * q + qq) * per
+        out_ref[bb, qq] = res[base:base + per, :]
   return kern
 
 
@@ -264,7 +275,7 @@ def nearest_lowres_cf(image_cf, s, interpret=False, variant=None):
       return _gather_lowres(image_cf, s, k, white, interpret)
     if variant == 'gather':
       raise ValueError(f'gather downsample infeasible for {image_cf.shape}')
-  plan = _plan(h, w, s) if c == 3 else None
+  plan = _plan(h, w, s, b, image_cf.dtype.itemsize) if c == 3 else None
   if plan is None or not on_tpu or variant == 'xla':
     iy = jnp.asarray(_nearest_indices(h, s))
     ix = jnp.asarray(_nearest_indices(w, s))
@@ -277,17 +288,20 @@ def nearest_lowres_cf(image_cf, s, interpret=False, variant=None):
   px = jnp.asarray(_col_onehot(w, s), jnp.bfloat16)
 
   slabs = image_cf.reshape(b, c * g, span, w)
-  kern = _make_kernel(per, q, offsets, white)
+  kern = _make_kernel(b, per, q, offsets, white)
+  # One batch-free grid: each program contracts the same row group of
+  # EVERY frame in one MXU pass (M = b*q*per), so per-frame downsample
+  # cost amortizes with batch instead of re-running the b=1 grid.
   out = pl.pallas_call(
       kern,
-      grid=(b, (c * g) // q),
+      grid=((c * g) // q,),
       in_specs=[
-          pl.BlockSpec((1, q, span, w), lambda bi, k: (bi, k, 0, 0),
+          pl.BlockSpec((b, q, span, w), lambda k: (0, k, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((w, s), lambda bi, k: (0, 0),
+          pl.BlockSpec((w, s), lambda k: (0, 0),
                        memory_space=pltpu.VMEM),
       ],
-      out_specs=pl.BlockSpec((1, q, per, s), lambda bi, k: (bi, k, 0, 0),
+      out_specs=pl.BlockSpec((b, q, per, s), lambda k: (0, k, 0, 0),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((b, c * g, per, s), jnp.float32),
       interpret=interpret,

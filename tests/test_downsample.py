@@ -62,6 +62,28 @@ def test_batched_gather():
   np.testing.assert_array_equal(np.asarray(got), ref)
 
 
+@pytest.mark.parametrize('dtype', ['f32', 'u8'])
+def test_batched_slab_one_pass(dtype):
+  """b=4 slab path: the batch is folded into the contraction's M dim
+  (one MXU pass per row group serves every frame); outputs must stay
+  exact per frame."""
+  h, w, s = 270, 480, 32
+  rng = np.random.RandomState(3)
+  if dtype == 'u8':
+    x = jnp.asarray(rng.randint(0, 256, (4, 3, h, w)), jnp.uint8)
+  else:
+    x = jnp.asarray(rng.rand(4, 3, h, w), np.float32)
+  assert pallas_feasible(h, w, s, b=4, itemsize=x.dtype.itemsize)
+  got = nearest_lowres_cf(x, s, interpret=True, variant='slab')
+  iy, ix = _nearest_indices(h, s), _nearest_indices(w, s)
+  ref = np.asarray(x)[:, :, iy][:, :, :, ix]
+  if dtype == 'u8':
+    np.testing.assert_allclose(np.asarray(got),
+                               ref.astype(np.float32) / 255.0, atol=1e-7)
+  else:
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
 @pytest.mark.quick
 def test_serving_plans_exist():
   for h, w in [(2160, 3840), (1080, 1920), (2048, 2048), (1024, 1024)]:
