@@ -224,6 +224,42 @@ def make_usm_synth(blur_sigma, sharpen):
   return synth
 
 
+def load_st_dataset(pipeline, cfg, sharding=None):
+  """Device-resident StyleTransferDataPipeline: each (input x style)
+  spec becomes one resident sample whose 6 input channels are the u8
+  photo + the u8-requantized bilinear-resized style exemplar (the host
+  path keeps the exemplar float — resize_bilinear output — so the
+  device copy differs by <= 1/510 per exemplar pixel; the exemplar is
+  a conditioning signal, not a regression target). Outputs are the
+  per-style target files."""
+  from hdrnet_tpu.data import images
+  from hdrnet_tpu import native
+  ins, outs = [], []
+  exemplars = {}
+  for in_path, model_path, out_path in pipeline.specs:
+    inp = images.imread(in_path)
+    out = images.imread(out_path)
+    if inp.dtype != np.uint8 or out.dtype != np.uint8:
+      raise ValueError('device st dataset supports uint8 sources only; '
+                       'use the host pipeline for 16-bit data')
+    key = (model_path, inp.shape[:2])
+    if key not in exemplars:
+      mdl = images.imread_float(model_path)
+      mdl = native.resize_bilinear(mdl, inp.shape[:2])
+      exemplars[key] = (np.clip(mdl, 0.0, 1.0) * 255.0 + 0.5).astype(
+          np.uint8)
+    ins.append(np.concatenate([inp, exemplars[key]], axis=-1))
+    outs.append(out)
+  put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
+      else jax.device_put
+  shapes = {a.shape for a in ins}
+  if len(shapes) != 1:
+    raise ValueError(f'device dataset needs uniform shapes, got '
+                     f'{sorted(shapes)[:3]}...')
+  return DeviceDataset(None, cfg, sharding=sharding,
+                       arrays=(put(np.stack(ins)), put(np.stack(outs))))
+
+
 def load_usm_dataset(pipeline, cfg, sharding=None):
   """Device-resident UnsharpMaskDataPipeline: decode raw inputs once,
   synthesize every uint8 target ON DEVICE in one jitted batched pass

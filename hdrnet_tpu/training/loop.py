@@ -124,9 +124,10 @@ def _try_device_dataset(pipeline, data_cfg, sharding=None):
   uncommitted single-device arrays would otherwise be re-resharded from
   device 0 on every jitted step — for the whole resident dataset."""
   from hdrnet_tpu.data.device import (DeviceDataset, load_pairs,
-                                      load_usm_dataset,
+                                      load_st_dataset, load_usm_dataset,
                                       make_device_augment)
   from hdrnet_tpu.data.pipeline import (ImageFilesDataPipeline,
+                                        StyleTransferDataPipeline,
                                         UnsharpMaskDataPipeline)
   try:
     if type(pipeline) is ImageFilesDataPipeline:
@@ -138,6 +139,10 @@ def _try_device_dataset(pipeline, data_cfg, sharding=None):
       # load_usm_dataset) — the host path re-blurs every sample every
       # epoch, ~1 s/image on a 1-core box.
       dds = load_usm_dataset(pipeline, data_cfg, sharding=sharding)
+    elif type(pipeline) is StyleTransferDataPipeline:
+      # 6-channel (photo + style exemplar) residency; the exemplar is
+      # resized/requantized once at upload (data/device.py).
+      dds = load_st_dataset(pipeline, data_cfg, sharding=sharding)
     else:
       log.warning('device_data: %s has no device-resident loader; using '
                   'the host pipeline', type(pipeline).__name__)

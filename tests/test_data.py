@@ -183,6 +183,45 @@ def test_usm_device_synthesis_matches_host(tmp_path):
   assert dds.outputs.dtype == jnp.uint8
 
 
+def test_st_device_loader_matches_host(tmp_path):
+  """The device-resident style-transfer loader (data/device.py
+  load_st_dataset) must reproduce the host pipeline's 6-channel inputs
+  (StyleTransferDataPipeline._load: photo + bilinear-resized exemplar)
+  up to the documented 1/510 exemplar requantization, and the exact
+  per-style targets."""
+  from hdrnet_tpu.data.device import load_st_dataset
+  from hdrnet_tpu.data.pipeline import StyleTransferDataPipeline
+  names = _write_dataset(tmp_path, n=2, size=(40, 56))
+  rng = np.random.RandomState(7)
+  # exemplars (different size: exercises the resize) + targets.txt
+  for t in ('s0', 's1'):
+    Image.fromarray((rng.rand(24, 32, 3) * 255).astype(np.uint8)).save(
+        tmp_path / 'input' / f'{t}.png')
+    os.makedirs(tmp_path / 'output' / t, exist_ok=True)
+    for n in names:
+      Image.fromarray((rng.rand(40, 56, 3) * 255).astype(np.uint8)).save(
+          tmp_path / 'output' / t / n)
+  with open(tmp_path / 'targets.txt', 'w') as f:
+    f.write('s0\ns1\n')
+
+  cfg = _cfg(output_resolution=[32, 32], pipeline='StyleTransferDataPipeline')
+  pipe = StyleTransferDataPipeline(str(tmp_path), cfg)
+  assert len(pipe.specs) == 4  # 2 frames x 2 styles
+
+  dds = load_st_dataset(pipe, cfg)
+  assert dds.inputs.shape == (4, 40, 56, 6)
+  assert dds.inputs.dtype == jnp.uint8
+  for i, spec in enumerate(pipe.specs):
+    host_in, host_out = pipe._load(spec, np.random.RandomState(0))
+    dev_in = np.asarray(dds.inputs[i]).astype(np.float32) / 255.0
+    dev_out = np.asarray(dds.outputs[i]).astype(np.float32) / 255.0
+    np.testing.assert_allclose(dev_in[..., :3], host_in[..., :3],
+                               atol=1e-7)
+    np.testing.assert_allclose(dev_in[..., 3:], host_in[..., 3:],
+                               atol=0.5 / 255.0 + 1e-7)
+    np.testing.assert_allclose(dev_out, host_out, atol=1e-7)
+
+
 def test_prefetching_batches(tmp_path):
   _write_dataset(tmp_path)
   pipe = ImageFilesDataPipeline(str(tmp_path), _cfg(data_threads=2))
