@@ -18,7 +18,9 @@ from hdrnet_tpu.ops.downsample import (nearest_lowres_cf, pallas_feasible,
                                        _plan, _gather_plan)
 from hdrnet_tpu.ops.resize import _nearest_indices
 
-SIZES = [(270, 480, 32), (135, 240, 64), (256, 256, 64), (512, 512, 64)]
+SIZES = [(270, 480, 32), (135, 240, 64),
+         pytest.param((256, 256, 64), marks=pytest.mark.slow),
+         pytest.param((512, 512, 64), marks=pytest.mark.slow)]
 VARIANTS = ['slab', 'gather']
 
 

@@ -121,6 +121,7 @@ def test_bucketed_serving_compile_count():
                              atol=2e-5)
 
 
+@pytest.mark.slow
 def test_bucketed_serving_pyramid():
   """Pyramid-family bucketed serving (reference run.py serves arbitrary
   HxW for every model class, bin/run.py:87-90): one compile per bucket

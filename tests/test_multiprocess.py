@@ -28,6 +28,7 @@ def _free_port():
     return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_training_matches_single_device():
   port = _free_port()
   repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

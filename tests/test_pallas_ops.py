@@ -167,13 +167,13 @@ def test_strip_loop_matches_straightline(monkeypatch):
   """The strip-loop kernel path (vreg-resident row strips, default on
   TPU for 32-row-divisible tiles) is the same arithmetic as the
   straight-line kernel, for the forward and both pixelwise VJPs."""
-  grid, guide, image = _args(8, 1, 16, 16, 8, 3, 3, 192, 260)
+  grid, guide, image = _args(8, 1, 8, 8, 8, 3, 3, 64, 132)
   # Quantize the guide so no z tap sits at the smoothed-tent cutoff
   # (|dx| = 1), where dwz is discontinuous and a 1-ulp reassociation
   # difference between the two compilations flips isolated pixels.
   guide = (jnp.round(guide * 64.0) + 0.5) / 64.0
   rng = np.random.RandomState(9)
-  probe = jnp.asarray(rng.randn(1, 192, 260, 3), jnp.float32)
+  probe = jnp.asarray(rng.randn(1, 64, 132, 3), jnp.float32)
 
   def run():
     def loss(grid, guide, image):
@@ -184,10 +184,10 @@ def test_strip_loop_matches_straightline(monkeypatch):
                                 backend='pallas_interpret')
     return out, jax.grad(loss, argnums=(1, 2))(grid, guide, image)
 
-  monkeypatch.setattr(pk, '_TILE_OVERRIDE', (64, 128))
-  monkeypatch.setattr(pk, '_DEFAULT_STRIP', 7)  # 64 % 7 != 0: strip off
+  monkeypatch.setattr(pk, '_TILE_OVERRIDE', (32, 128))
+  monkeypatch.setattr(pk, '_DEFAULT_STRIP', 7)  # 32 % 7 != 0: strip off
   base, (dgd_b, di_b) = run()
-  monkeypatch.setattr(pk, '_DEFAULT_STRIP', 8)  # 8 strips per tile
+  monkeypatch.setattr(pk, '_DEFAULT_STRIP', 8)  # 4 strips per tile
   got, (dgd_s, di_s) = run()
   np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=1e-5)
   np.testing.assert_allclose(np.asarray(dgd_s), np.asarray(dgd_b),
@@ -200,9 +200,9 @@ def test_wide_x_window_small_image():
   """256-ish images with a 16-cell grid (the coarsest Gaussian-pyramid
   level) need an x-cell window of ~10 — admitted by the asymmetric
   _MAX_CELLS_X cap — and must match the oracle, fwd and all VJPs."""
-  case = (1, 16, 16, 4, 3, 3, 250, 256)
+  case = (1, 16, 16, 4, 3, 3, 96, 256)
   grid, guide, image = _args(11, *case)
-  assert pk.feasible(250, 256, 16, 16)
+  assert pk.feasible(96, 256, 16, 16)
   want = bilateral_slice_apply(grid, guide, image, backend='reference')
   got = bilateral_slice_apply(grid, guide, image,
                               backend='pallas_interpret')
@@ -292,6 +292,7 @@ def test_bf16_compute_within_serving_tolerance():
                              atol=2.0 / 255.0)
 
 
+@pytest.mark.slow
 def test_vjps_match_oracle_l16_s32_geometry():
   """All three cotangents at the reference's best quality config
   (l16/s32, compare_to_unet.py:46) — gd=16 doubles the depth

@@ -20,6 +20,7 @@ def test_mesh_shapes(cpu_devices):
   assert dict(mesh.shape) == {'data': 8, 'spatial': 1}
 
 
+@pytest.mark.slow
 def test_graft_dryrun(cpu_devices):
   import __graft_entry__ as ge
   ge.dryrun_multichip(8)
@@ -48,6 +49,7 @@ def test_spatially_sharded_inference_matches(cpu_devices):
   np.testing.assert_allclose(np.asarray(got), np.asarray(got1), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sharded_pyramid_inference_matches(cpu_devices):
   """GaussianPyrNN giant-image serving: every level's fused kernel runs
   H-sharded; the pyramid build and upsample-add run on sharded arrays

@@ -201,20 +201,24 @@ def f_apply(grid, guide, image):
   return bilateral_slice_apply(grid, guide, image, backend='reference')
 
 
+@pytest.mark.slow
 def test_apply_grid_grad_fd(x64, apply_args):
   _fd_check(f_apply, apply_args, wrt=0, tol=3e-4)
 
 
+@pytest.mark.slow
 def test_apply_input_grad_fd(x64, apply_args):
   _fd_check(f_apply, apply_args, wrt=2, tol=3e-4)
 
 
+@pytest.mark.slow
 def test_apply_guide_grad_fd(x64, apply_args):
   # Guide gradient is intentionally smoothed (eps=1e-8) => loose tol 1e-2
   # (reference: hdrnet_ops_test.py:363).
   _fd_check(f_apply, apply_args, wrt=1, tol=1e-2)
 
 
+@pytest.mark.slow
 def test_slice_grads_fd(x64):
   rng = np.random.RandomState(11)
   grid = rng.randn(1, 3, 4, 6, 4)

@@ -352,14 +352,16 @@ def test_guide_reg(dataset, tmp_path):
     plain = make_train_step(model, tx)
     reg_hot = make_train_step(model, tx, guide_reg=1.0,
                               guide_reg_target=10.0)
-    reg_cold = make_train_step(model, tx, guide_reg=1.0,
-                               guide_reg_target=0.0)
     _, m0 = jax.jit(plain)(state, batch)
     _, mhot = jax.jit(reg_hot)(state, batch)
-    _, mcold = jax.jit(reg_cold)(state, batch)
     assert float(mhot['loss']) > float(m0['loss']) + 1.0, model_name
-    np.testing.assert_allclose(float(mcold['loss']), float(m0['loss']),
-                               rtol=1e-6)
+    if model_name == 'HDRNetCurves':
+      # Hinge-inactive identity is model-agnostic; check it once.
+      reg_cold = make_train_step(model, tx, guide_reg=1.0,
+                                 guide_reg_target=0.0)
+      _, mcold = jax.jit(reg_cold)(state, batch)
+      np.testing.assert_allclose(float(mcold['loss']), float(m0['loss']),
+                                 rtol=1e-6)
 
 
 @pytest.mark.quick
